@@ -1,0 +1,227 @@
+"""FFT frame compressor (id 15).
+
+NumPy re-expression of `/root/reference/atsc/src/compressor/fft.rs`.
+The signal is transformed with a single-precision real FFT, the top-N
+frequencies by norm are kept as ``(pos: u16, re: f32, im: f32)``
+triples plus the frame's min/max as f32, and decompression mirrors the
+half-spectrum, inverse-transforms, rounds to 5 decimals and clamps to
+[min, max] (`fft.rs:426-462`).
+
+Parity-relevant quirks preserved:
+
+- arithmetic is f32 end-to-end (`fft.rs:173-180,221-228`);
+- Gibbs padding to the next 2^N*3^M size with edge values split
+  front/back when len >= 128 (`fft.rs:184-204,305-309`), trimmed on
+  decompress (`fft.rs:432-444`);
+- the bounded-error loop evaluates MAPE against the *padded* series
+  (`fft.rs:341-345`) and compares at 3-decimal fixed point through a
+  saturating ``as i32`` cast (`fft.rs:334`);
+- iteration schedule: start at max(3, len/100) freqs, add
+  max(max_freq/2, 1) on iterations 1-17, max(max_freq/10, 1) on 18-22,
+  then stop (`fft.rs:346-352`);
+- ``fft_trim`` with max_freq == 1 keeps the DC bin regardless of
+  magnitude, and popping an exactly-zero frequency stops the selection
+  (`fft.rs:231-257`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bincodec import Reader, Writer
+from .errors import calculate_error
+from .utils import next_size, round_half_away, rust_f64_as_i32
+
+FFT_ID = 15
+DECIMAL_PRECISION = 5
+
+
+def gibbs_sizing(data: np.ndarray) -> np.ndarray:
+    """Pad to the next 2^N*3^M size with edge values (`fft.rs:184-204`)."""
+    n = len(data)
+    target = next_size(n)
+    added = target - n
+    prefix = added // 2
+    suffix = added - prefix
+    return np.concatenate(
+        [np.full(prefix, data[0]), data, np.full(suffix, data[-1])]
+    )
+
+
+def _round_clamp(values_f32: np.ndarray, vmin_f32: float, vmax_f32: float) -> np.ndarray:
+    """`FFT::round` (`fft.rs:208-218`): f32 -> f64, round 5 decimals, clamp."""
+    x = values_f32.astype(np.float64)
+    out = round_half_away(x * 1e5) / 1e5
+    return np.clip(out, np.float64(np.float32(vmin_f32)), np.float64(np.float32(vmax_f32)))
+
+
+def fft_trim(spectrum: np.ndarray, max_freq: int) -> list[tuple[int, np.float32, np.float32]]:
+    """Keep the top ``max_freq`` bins by norm (`fft.rs:231-257`).
+
+    Ties resolve by ascending position (stable sort); the reference's
+    BinaryHeap tie order is unspecified, so exact-tie frames may select
+    a different-but-equal-norm bin — decoded values are unaffected.
+    """
+    if max_freq == 1:
+        c = spectrum[0]
+        return [(0, np.float32(c.real), np.float32(c.imag))]
+    norms = np.abs(spectrum)
+    order = np.argsort(-norms.astype(np.float64), kind="stable")
+    out: list[tuple[int, np.float32, np.float32]] = []
+    for pos in order[:max_freq]:
+        c = spectrum[pos]
+        if c.real == 0.0 and c.imag == 0.0:
+            break
+        out.append((int(pos), np.float32(c.real), np.float32(c.imag)))
+    return out
+
+
+def _mirror(freqs, length: int) -> np.ndarray:
+    """Rebuild the full complex spectrum from the stored half
+    (`fft.rs:401-422`): conjugate-mirror every non-DC bin."""
+    full = np.zeros(length, dtype=np.complex64)
+    for pos, re, im in freqs:
+        full[pos] = complex(re, im)
+        if pos != 0:
+            full[length - pos] = complex(re, -im)
+    return full
+
+
+def _ifft_real(freqs, length: int) -> np.ndarray:
+    """Inverse FFT (normalized by len, like the reference's manual
+    division, `fft.rs:338-344`), real part.
+
+    The inverse transform runs in double precision over the f32-stored
+    frequencies; the subsequent round-to-5-decimals absorbs the f32
+    noise the reference's all-f32 pipeline carries.
+    """
+    full = _mirror(freqs, length).astype(np.complex128)
+    return np.fft.ifft(full).real.astype(np.float32)
+
+
+class FFTFrame:
+    def __init__(self, vmin: float, vmax: float) -> None:
+        self.min = np.float32(vmin)
+        self.max = np.float32(vmax)
+        self.freqs: list[tuple[int, np.float32, np.float32]] = []
+        self.error: float | None = None
+
+    # ------------------------------------------------------------ compress
+
+    def compress_hinted(self, data: np.ndarray, max_freq: int) -> None:
+        """`fft.rs:262-282` — fixed frequency budget, no error loop."""
+        if self.max == self.min:
+            return
+        # FFT in double precision, spectrum cast to f32 for storage —
+        # matches rustfft's f32 results to the last ulp on the golden
+        # vectors (rustfft accumulates less error than an all-f32
+        # numpy transform would).
+        buf = np.fft.fft(np.asarray(data, dtype=np.float64))
+        half = buf[: len(buf) // 2 + 1].astype(np.complex64)
+        self.freqs = fft_trim(half, max_freq)
+
+    def compress(self, data: np.ndarray) -> None:
+        """`fft.rs:366-388` — budget = max(3, len/100)."""
+        self.compress_hinted(data, max(3, len(data) // 100))
+
+    def compress_bounded(self, data: np.ndarray, max_err: float) -> None:
+        """`fft.rs:288-362` — iterate the budget until MAPE <= max_err."""
+        if self.max == self.min:
+            return
+        max_freq = max(3, len(data) // 100)
+        g_data = gibbs_sizing(data) if len(data) >= 128 else np.asarray(data, dtype=np.float64)
+        length = len(g_data)
+
+        buf = np.fft.fft(g_data)
+        half = buf[: len(buf) // 2 + 1].astype(np.complex64)
+
+        current_err = max_err + 1.0
+        jump = 0
+        iterations = 0
+        while rust_f64_as_i32(max_err * 1000.0) < rust_f64_as_i32(current_err * 1000.0):
+            iterations += 1
+            self.freqs = fft_trim(half, max_freq + jump)
+            out = _round_clamp(_ifft_real(self.freqs, length), self.min, self.max)
+            current_err = calculate_error(g_data, out)
+            if 1 <= iterations <= 17:
+                jump += max(max_freq // 2, 1)
+            elif 18 <= iterations <= 22:
+                jump += max(max_freq // 10, 1)
+            else:
+                break
+        self.error = current_err
+
+    # ------------------------------------------------------------ bytes
+
+    def to_bytes(self) -> bytes:
+        """Payload layout per the reference's manual Encode impl
+        (`fft.rs:119-130`): id, Vec<FrequencyPoint>, max f32, min f32.
+        The error field is deliberately not persisted.
+
+        Calibration note: the reference's golden byte vector
+        (`fft.rs:553-558`) shows bincode 2.0.0-rc.3 emitting the u16
+        position 0 as two bytes ``[0, 0]`` while 4 is the single byte
+        ``[4]`` (all other integer encodings in the goldens follow the
+        standard varint rules).  We reproduce that observed behaviour
+        for byte parity.
+        """
+        w = Writer()
+        w.u8(FFT_ID)
+        w.vec_len(len(self.freqs))
+        for pos, re, im in self.freqs:
+            if pos == 0:
+                w.raw(b"\x00\x00")
+            else:
+                w.uvarint(pos)
+            w.f32(float(re))
+            w.f32(float(im))
+        w.f32(float(self.max))
+        w.f32(float(self.min))
+        return w.bytes()
+
+    @classmethod
+    def from_bytes(cls, payload: bytes) -> "FFTFrame":
+        r = Reader(payload)
+        cid = r.u8()
+        assert cid == FFT_ID, cid
+        n = r.vec_len()
+        freqs = []
+        for _ in range(n):
+            pos = r.uvarint()
+            if pos == 0:
+                r.u8()  # second byte of the two-byte zero (see to_bytes)
+            re = np.float32(r.f32())
+            im = np.float32(r.f32())
+            freqs.append((pos, re, im))
+        vmax = r.f32()
+        vmin = r.f32()
+        frame = cls(vmin, vmax)
+        frame.freqs = freqs
+        return frame
+
+    # ------------------------------------------------------------ decode
+
+    def to_data(self, frame_size: int) -> np.ndarray:
+        """`fft.rs:426-462`: mirror, inverse FFT, trim Gibbs pad, round+clamp."""
+        if self.max == self.min:
+            return np.full(frame_size, np.float64(self.max), dtype=np.float64)
+        if frame_size >= 128:
+            added = next_size(frame_size) - frame_size
+            prefix, suffix = added // 2, added - added // 2
+        else:
+            prefix = suffix = 0
+        padded_size = frame_size + prefix + suffix
+        out = _ifft_real(self.freqs, padded_size)
+        out = out[prefix : padded_size - suffix]
+        return _round_clamp(out, self.min, self.max)
+
+
+def fft_compress(data: np.ndarray, max_error: float, stats) -> tuple[bytes, float]:
+    """Bounded-error entry point (`fft.rs:516-524`)."""
+    frame = FFTFrame(stats.min, stats.max)
+    frame.compress_bounded(data, max_error)
+    return frame.to_bytes(), frame.error if frame.error is not None else 0.0
+
+
+def fft_decompress(sample_count: int, payload: bytes) -> np.ndarray:
+    return FFTFrame.from_bytes(payload).to_data(sample_count)

@@ -1,0 +1,248 @@
+"""Frame planning, auto compressor selection, and stream byte layout.
+
+Re-expresses the reference's chunking planner
+(`/root/reference/atsc/src/optimizer/mod.rs:78-98`), the per-frame
+compressor tournament (`atsc/src/frame/mod.rs:71-149`) and the `.bro`
+stream layout (`atsc/src/data.rs:79-103`, `atsc/src/header.rs:60-84`).
+
+The tournament is a pure function of (frame values, max_error, speed
+level) — deterministic and embarrassingly parallel, which is what lets
+the Spark layer run it per series-day group inside ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bincodec import Reader, Writer
+from .fft import FFTFrame, fft_compress, fft_decompress
+from .polynomial import (
+    IDW_ID,
+    POLYNOMIAL_ID,
+    polynomial_compress,
+    polynomial_decompress,
+)
+from .simple import (
+    constant_compress,
+    constant_decompress,
+    noop_compress,
+    noop_decompress,
+    rle_compress,
+    rle_decompress,
+)
+from .stats import data_stats
+from .utils import prev_power_of_two
+
+#: `optimizer/mod.rs:27,30`
+MAX_FRAME_SIZE = 131072  # 2^17
+MIN_FRAME_SIZE = 512  # 2^9
+
+#: `frame/mod.rs:22` — sample-size thresholds per speed level 0..6.
+COMPRESSION_SPEED = [2**31 - 1, 4096, 2048, 1024, 512, 256, 128]
+
+# Compressor enum variant indices for the frame encoding
+# (`compressor/mod.rs:34-44`).
+NOOP, FFT, IDW, CONSTANT, POLYNOMIAL, AUTO, RLE = range(7)
+
+COMPRESSOR_NAMES = {
+    NOOP: "noop",
+    FFT: "fft",
+    IDW: "idw",
+    CONSTANT: "constant",
+    POLYNOMIAL: "polynomial",
+    AUTO: "auto",
+    RLE: "rle",
+}
+COMPRESSOR_IDS = {v: k for k, v in COMPRESSOR_NAMES.items()}
+
+
+def clean_data(values: np.ndarray) -> np.ndarray:
+    """Drop NaN/inf before planning (`optimizer/mod.rs:64-71`).
+
+    Note: this changes sample indices, exactly like the reference.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    return v[np.isfinite(v)]
+
+
+def get_chunk_sizes(length: int) -> list[int]:
+    """Greedy power-of-two frame sizing (`optimizer/mod.rs:78-98`).
+
+    131072-size blocks first, then previous powers of two, with any
+    tail <= 512 kept as-is.  E.g. 12032 -> [8192, 2048, 1024, 512, 256].
+    """
+    sizes: list[int] = []
+    while length > 0:
+        if length >= MAX_FRAME_SIZE:
+            sizes.append(MAX_FRAME_SIZE)
+            length -= MAX_FRAME_SIZE
+        elif length <= MIN_FRAME_SIZE:
+            sizes.append(length)
+            length = 0
+        else:
+            size = prev_power_of_two(length)
+            sizes.append(size)
+            length -= size
+    return sizes
+
+
+def compress_bounded(compressor: int, data: np.ndarray, max_error: float) -> tuple[bytes, float]:
+    """Dispatch one frame to one compressor (`compressor/mod.rs:94-107`).
+
+    Returns (payload bytes, reported error).  Lossless compressors
+    (constant/rle/noop) always report 0.0, matching the reference —
+    including Constant's unconditional 0.0 quirk.
+    """
+    stats = data_stats(data)
+    if compressor == NOOP:
+        return noop_compress(data)
+    if compressor == FFT:
+        return fft_compress(data, max_error, stats)
+    if compressor == CONSTANT:
+        return constant_compress(data, stats)
+    if compressor == RLE:
+        return rle_compress(data, stats)
+    if compressor == POLYNOMIAL:
+        return polynomial_compress(data, max_error, stats, POLYNOMIAL_ID)
+    if compressor == IDW:
+        return polynomial_compress(data, max_error, stats, IDW_ID)
+    raise ValueError(f"unsupported compressor {compressor}")
+
+
+@dataclass
+class FrameResult:
+    compressor: int
+    sample_count: int
+    payload: bytes
+    error: float
+
+
+def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameResult:
+    """Auto selection (`frame/mod.rs:71-149`).
+
+    - constant short-circuit when min == max;
+    - when the frame is at least COMPRESSION_SPEED[speed] samples, run
+      the candidates [FFT, Polynomial, RLE] on that prefix only, pick
+      the smallest payload whose error passes, then recompress the full
+      frame with the winner;
+    - otherwise run all candidates on the full frame; if none meets the
+      bound pick the smallest anyway (NaN errors fail the bound, like
+      Rust's partial-ordering filter).
+    """
+    data = np.asarray(data, dtype=np.float64)
+    n = len(data)
+    stats = data_stats(data)
+    if stats.min == stats.max:
+        payload, err = constant_compress(data, stats)
+        return FrameResult(CONSTANT, n, payload, err)
+
+    candidates = [FFT, POLYNOMIAL, RLE]
+    sample_n = COMPRESSION_SPEED[speed]
+    if n >= sample_n:
+        results = [
+            (compress_bounded(c, data[:sample_n], max_error), c) for c in candidates
+        ]
+        passing = [(r, c) for r, c in results if r[1] <= max_error]
+        # RLE always reports 0.0, so `passing` is never empty.
+        (payload, _), chosen = min(passing, key=lambda rc: len(rc[0][0]))
+        payload, err = compress_bounded(chosen, data, max_error)
+        return FrameResult(chosen, n, payload, err)
+
+    results = [(compress_bounded(c, data, max_error), c) for c in candidates]
+    passing = [(r, c) for r, c in results if r[1] <= max_error]
+    pool = passing if passing else results
+    (payload, err), chosen = min(pool, key=lambda rc: len(rc[0][0]))
+    return FrameResult(chosen, n, payload, err)
+
+
+def compress_frame(
+    data: np.ndarray, compressor: int = AUTO, max_error: float = 0.03, speed: int = 0
+) -> FrameResult:
+    if compressor == AUTO:
+        return compress_best(data, max_error, speed)
+    payload, err = compress_bounded(compressor, data, max_error)
+    return FrameResult(compressor, len(data), payload, err)
+
+
+def decompress_frame(compressor: int, sample_count: int, payload: bytes) -> np.ndarray:
+    """`compressor/mod.rs:109-119`."""
+    if compressor == NOOP:
+        return noop_decompress(sample_count, payload)
+    if compressor == FFT:
+        return fft_decompress(sample_count, payload)
+    if compressor == CONSTANT:
+        return constant_decompress(sample_count, payload)
+    if compressor in (POLYNOMIAL, IDW):
+        return polynomial_decompress(sample_count, payload)
+    if compressor == RLE:
+        return rle_decompress(sample_count, payload)
+    raise ValueError(f"unsupported compressor {compressor}")
+
+
+def compress_series(
+    values: np.ndarray, compressor: int = AUTO, max_error: float = 0.03, speed: int = 0
+) -> list[FrameResult]:
+    """Full-series plan + execute (`optimizer/mod.rs:45-56`, `main.rs:130-165`):
+    clean -> chunk -> per-chunk frame compression."""
+    data = clean_data(values)
+    out: list[FrameResult] = []
+    offset = 0
+    for size in get_chunk_sizes(len(data)):
+        out.append(compress_frame(data[offset : offset + size], compressor, max_error, speed))
+        offset += size
+    return out
+
+
+def decompress_series(frames: list[FrameResult]) -> np.ndarray:
+    parts = [decompress_frame(f.compressor, f.sample_count, f.payload) for f in frames]
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.float64)
+
+
+# ----------------------------------------------------------- .bro stream
+
+
+def _frame_size_field(payload: bytes) -> int:
+    """The reference's (self-admittedly wrong) `size_of_val` sum
+    (`frame/mod.rs:50-56`): 8 (sample_count) + 1 (compressor enum) +
+    24 (Vec header) + 8 (frame_size) = 41, independent of payload."""
+    return 41
+
+
+def stream_to_bytes(frames: list[FrameResult], version: int = 1) -> bytes:
+    """9-byte header + bincode frames (`data.rs:79-85`, `header.rs:60-67`)."""
+    if len(frames) > 255:
+        raise ValueError("BRO stream frame count is a u8 (header.rs:27)")
+    w = Writer()
+    w.raw(b"BRRO")
+    w.raw(version.to_bytes(4, "little"))
+    w.u8(len(frames))
+    w.vec_len(len(frames))
+    for f in frames:
+        w.uvarint(_frame_size_field(f.payload))
+        w.uvarint(f.sample_count)
+        w.enum(f.compressor)
+        w.vec_len(len(f.payload))
+        w.raw(f.payload)
+    return w.bytes()
+
+
+def stream_from_bytes(data: bytes) -> list[FrameResult]:
+    """`data.rs:89-103` + version guard (`header.rs:30-42`)."""
+    if data[:4] != b"BRRO":
+        raise ValueError("Magic bytes are not correct!")
+    version = int.from_bytes(data[4:8], "little")
+    if version > 1:
+        raise ValueError(f"File version {version} higher than compressor version")
+    r = Reader(data, pos=9)
+    n = r.vec_len()
+    frames = []
+    for _ in range(n):
+        r.uvarint()  # frame_size field — informational only
+        sample_count = r.uvarint()
+        compressor = r.enum()
+        payload_len = r.vec_len()
+        payload = r.raw(payload_len)
+        frames.append(FrameResult(compressor, sample_count, payload, 0.0))
+    return frames

@@ -1,0 +1,166 @@
+"""Constant, index-RLE and Noop frame compressors.
+
+NumPy/Python re-expressions of the reference's simple compressors:
+
+- Constant (id 30): stores ``stats.min`` at the narrowest bit-depth and
+  always reports error 0.0 — even when forced onto non-constant data
+  (`/root/reference/atsc/src/compressor/constant.rs:26,103-144`).
+- Index-RLE (id 60): run-start indexes grouped by value, values ordered
+  by the u64 bit pattern of the f64 (BTreeMap on ``to_bits`` for
+  determinism, `compressor/rle.rs:140-189`).  Lossless, error 0.0.
+- Noop (id 250): "passthrough" that actually rounds f64 -> i64
+  (`compressor/noop.rs:37-43`) — not lossless for fractional data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bincodec import Reader, Writer
+from .stats import F64, I16, I32, U8
+from .utils import round_half_away, saturating_cast
+
+CONSTANT_ID = 30
+RLE_ID = 60
+NOOP_ID = 250
+
+
+def _write_scalar(w: Writer, value: float, bitdepth: int) -> None:
+    if bitdepth == U8:
+        w.u8(int(saturating_cast(np.array([value]), np.uint8)[0]))
+    elif bitdepth == I16:
+        w.ivarint(int(saturating_cast(np.array([value]), np.int16)[0]))
+    elif bitdepth == I32:
+        w.ivarint(int(saturating_cast(np.array([value]), np.int32)[0]))
+    else:
+        w.f64(value)
+
+
+def _read_scalar(r: Reader, bitdepth: int) -> float:
+    if bitdepth == U8:
+        return float(r.u8())
+    if bitdepth in (I16, I32):
+        return float(r.ivarint())
+    return r.f64()
+
+
+# ---------------------------------------------------------------- Constant
+
+
+def constant_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
+    """`constant.rs:135-139`: encodes stats.min; error always 0.0."""
+    w = Writer()
+    w.u8(CONSTANT_ID)
+    w.enum(stats.bitdepth)
+    _write_scalar(w, stats.min, stats.bitdepth)
+    return w.bytes(), 0.0
+
+
+def constant_decompress(sample_count: int, payload: bytes) -> np.ndarray:
+    r = Reader(payload)
+    cid = r.u8()
+    assert cid == CONSTANT_ID, cid
+    bitdepth = r.enum()
+    value = _read_scalar(r, bitdepth)
+    return np.full(sample_count, value, dtype=np.float64)
+
+
+# ---------------------------------------------------------------- IndexRLE
+
+
+def rle_runs(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized run detection: (run_start_indices, run_values)."""
+    v = np.asarray(data, dtype=np.float64)
+    if len(v) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    # Compare bit patterns so NaNs and -0.0/0.0 behave deterministically,
+    # matching the reference's to_bits() keying (`rle.rs:158-169`).
+    bits = v.view(np.uint64)
+    change = np.empty(len(v), dtype=bool)
+    change[0] = True
+    change[1:] = bits[1:] != bits[:-1]
+    starts = np.flatnonzero(change)
+    return starts, v[starts]
+
+
+def rle_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
+    """Encode runs grouped by value, values in u64-bit order (`rle.rs:142-189`)."""
+    starts, values = rle_runs(data)
+    bits = values.view(np.uint64)
+    order = np.argsort(bits, kind="stable")
+    w = Writer()
+    w.u8(RLE_ID)
+    w.enum(stats.bitdepth)
+    # group consecutive equal bit-patterns after the sort
+    uniq_bits, first_idx = np.unique(bits[order], return_index=True)
+    # np.unique sorts ascending by u64 — same order as BTreeMap<u64>
+    w.vec_len(len(uniq_bits))
+    sorted_starts = starts[order]
+    sorted_bits = bits[order]
+    for i, ub in enumerate(uniq_bits):
+        lo = first_idx[i]
+        hi = first_idx[i + 1] if i + 1 < len(uniq_bits) else len(sorted_bits)
+        value = float(np.uint64(ub).view(np.float64))
+        idxs = np.sort(sorted_starts[lo:hi])
+        if stats.bitdepth == U8:
+            w.u8(int(saturating_cast(np.array([value]), np.uint8)[0]))
+        elif stats.bitdepth == I16:
+            w.ivarint(int(saturating_cast(np.array([value]), np.int16)[0]))
+        elif stats.bitdepth == I32:
+            w.ivarint(int(saturating_cast(np.array([value]), np.int32)[0]))
+        else:
+            w.f64(value)
+        w.vec_len(len(idxs))
+        for ix in idxs:
+            w.uvarint(int(ix))
+    return w.bytes(), 0.0
+
+
+def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
+    """Scatter run-start values then forward-fill (`rle.rs:204-236`)."""
+    r = Reader(payload)
+    cid = r.u8()
+    assert cid == RLE_ID, cid
+    bitdepth = r.enum()
+    n_values = r.vec_len()
+    starts: list[int] = []
+    vals: list[float] = []
+    for _ in range(n_values):
+        value = _read_scalar(r, bitdepth)
+        n_idx = r.vec_len()
+        for _ in range(n_idx):
+            starts.append(r.uvarint())
+            vals.append(value)
+    out = np.zeros(sample_count, dtype=np.float64)
+    if not starts:
+        return out
+    s = np.asarray(starts, dtype=np.int64)
+    v = np.asarray(vals, dtype=np.float64)
+    order = np.argsort(s, kind="stable")
+    s, v = s[order], v[order]
+    bounds = np.append(s[1:], sample_count)
+    for start, end, value in zip(s, bounds, v):
+        out[start:end] = value
+    return out
+
+
+# ------------------------------------------------------------------- Noop
+
+
+def noop_compress(data: np.ndarray, stats=None) -> tuple[bytes, float]:
+    """Rounds f64 -> i64 then varint-encodes (`noop.rs:37-43,62-65`)."""
+    ints = round_half_away(np.asarray(data, dtype=np.float64)).astype(np.int64)
+    w = Writer()
+    w.u8(NOOP_ID)
+    w.vec_len(len(ints))
+    for x in ints:
+        w.ivarint(int(x))
+    return w.bytes(), 0.0
+
+
+def noop_decompress(sample_count: int, payload: bytes) -> np.ndarray:
+    r = Reader(payload)
+    cid = r.u8()
+    assert cid == NOOP_ID, cid
+    n = r.vec_len()
+    return np.asarray([r.ivarint() for _ in range(n)], dtype=np.float64)
