@@ -1,0 +1,122 @@
+"""Deterministic synthetic transcripts table (FIXTURES.md §1).
+
+Schema per BASELINE.json ``input_hint``:
+``(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)``.
+
+Generation is fully distributed and JVM-side: ``spark.range`` over
+conversations, hash-derived uniforms (xxhash64), Zipf conversation
+lengths for hot-key skew realism, ``sequence``+``explode`` for turns,
+and a bounded per-conversation window cumsum for timestamps.  No
+Python executes per row, and determinism comes from hashing
+(conv, turn) coordinates — the same rows appear for any partitioning
+or cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EPOCH_START = "2024-01-01 00:00:00"
+TOOLS = [
+    "search", "python", "browser", "calculator", "sql", "files", "email", "calendar",
+]
+_FILLER = (
+    "the quick brown token stream rolls over the frame boundary while the "
+    "compressor fits a polynomial to the turn rate and the fft hums along "
+)
+
+
+def _uniform(*cols, salt: int):
+    """Deterministic uniform in [0, 1) from a row coordinate hash."""
+    h = F.xxhash64(*cols, F.lit(salt))
+    return (F.pmod(h, F.lit(1 << 30)).cast("double")) / float(1 << 30)
+
+
+def transcripts(
+    spark: SparkSession,
+    n_convs: int = 2000,
+    window_days: int = 7,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the synthetic transcripts DataFrame.
+
+    Conversation length ~ Zipf(a=1.5) clipped to [2, 4096] (inverse-CDF
+    of a hash uniform), so a few conversations are "hot" — the skew the
+    north rule requires us to handle explicitly.
+    """
+    convs = spark.range(n_convs, numPartitions=partitions)
+    u_len = _uniform(F.col("id"), salt=seed * 7 + 1)
+    # P(L >= x) ~ x^-(a-1) with a=1.5  =>  L = 2 * u^-2, clipped
+    n_turns = F.least(
+        F.lit(4096),
+        F.greatest(F.lit(2), (F.lit(2.0) / F.pow(F.greatest(u_len, F.lit(1e-9)), 2.0)).cast("int")),
+    )
+    u_start = _uniform(F.col("id"), salt=seed * 7 + 2)
+    conv_start = F.to_timestamp(F.lit(EPOCH_START)) + F.make_interval(
+        secs=F.round(u_start * (window_days * 86400.0), 0)
+    )
+
+    turns = (
+        convs.select(
+            F.format_string("conv_%08d", F.col("id")).alias("conv_id"),
+            F.col("id").alias("conv_no"),
+            n_turns.alias("n_turns"),
+            conv_start.alias("conv_start"),
+        )
+        .select(
+            "conv_id",
+            "conv_no",
+            "conv_start",
+            F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+        )
+    )
+
+    u_role = _uniform("conv_no", "turn_idx", salt=seed * 7 + 3)
+    role = (
+        F.when(u_role < 0.10, F.lit("tool"))
+        .when(F.pmod(F.col("turn_idx"), F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+
+    # text length ~ lognormal(mu=5, sigma=1), via Box-Muller on hash uniforms
+    u1 = _uniform("conv_no", "turn_idx", salt=seed * 7 + 4)
+    u2 = _uniform("conv_no", "turn_idx", salt=seed * 7 + 5)
+    z = F.sqrt(-2.0 * F.log(F.greatest(u1, F.lit(1e-12)))) * F.cos(2.0 * 3.141592653589793 * u2)
+    text_len = F.least(F.lit(20000), F.greatest(F.lit(1), F.exp(F.lit(5.0) + z).cast("int")))
+    filler_reps = (20000 // len(_FILLER)) + 2
+    text = F.substring(F.repeat(F.lit(_FILLER), filler_reps), 1, text_len)
+
+    # tool name: Zipf-ish categorical over 8 tools, null for non-tool turns
+    u_tool = _uniform("conv_no", "turn_idx", salt=seed * 7 + 6)
+    tool_expr = F.lit(None).cast("string")
+    # cumulative Zipf(1.0)-ish buckets: p_i ~ 1/i
+    weights = [1.0 / (i + 1) for i in range(len(TOOLS))]
+    total = sum(weights)
+    acc = 0.0
+    branch = None
+    for name, wgt in zip(TOOLS, weights):
+        acc += wgt / total
+        cond = u_tool < acc
+        branch = F.when(cond, F.lit(name)) if branch is None else branch.when(cond, F.lit(name))
+    tool = F.when(role == "tool", branch.otherwise(F.lit(TOOLS[-1]))).otherwise(tool_expr)
+
+    # inter-turn gap ~ Exp(mean 20 s), quantized to whole seconds >= 1
+    u_gap = _uniform("conv_no", "turn_idx", salt=seed * 7 + 7)
+    gap = F.greatest(F.lit(1.0), F.round(-20.0 * F.log(F.greatest(u_gap, F.lit(1e-12))), 0))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    elapsed = F.sum(gap).over(w)
+
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        (F.col("conv_start") + F.make_interval(secs=elapsed)).alias("ts"),
+    )
