@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design:
+- Exact dedup is a hash groupBy — one shuffle on the digest, map-side
+  partial agg; at 100 TB this is the cheapest possible formulation.
+- MinHash/LSH avoids the O(n^2) pairwise explosion: shingles ->
+  xxhash64 minhash signatures (JVM-side `transform`/`array_min`, no
+  Python) -> band buckets -> self-join *within buckets only*.
+- SimHash: 64-bit signature from token hashes; near-dups are Hamming
+  neighbours; banded by 16-bit chunks for candidate generation.
+- Embedding cosine near-dup blocks on an LSH sign-bucket before the
+  exact cosine check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- exact
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, keep_doc_id)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def dedup_exact_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents surviving exact dedup (min doc_id per digest)."""
+    w = dedup_exact(docs, text_col).select(F.col("keep_doc_id").alias("doc_id"))
+    return w
+
+
+# ----------------------------------------------------------- minhash
+
+
+def _shingles(text_col: str, k: int = 5):
+    """Character k-gram shingle array (JVM-side)."""
+    # positions 1..len-k+1
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 5
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — minhash over char shingles.
+
+    Each hash function is xxhash64(shingle, seed_i); the signature
+    component is the array_min of hashed shingles.  Entirely built-in
+    functions: transform + array_min, vectorized by codegen.
+    """
+    sh = _shingles(text_col, shingle_k).alias("sh")
+    base = docs.select("doc_id", sh)
+    sig_cols = [
+        F.array_min(F.expr(f"transform(sh, s -> xxhash64(s, {seed}))")).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return base.select("doc_id", F.array(*sig_cols).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH:
+    (doc_a, doc_b, n_bands_matched).
+
+    rows_per_band = num_hashes / bands.  Only documents sharing a full
+    band bucket are joined — the self-join runs per bucket, so shuffle
+    volume is proportional to candidate count, not n^2.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: (doc_id, simhash long).
+
+    For each of 64 bit positions, sum +1/-1 over token hashes and take
+    the sign.  Expressed as aggregate() over the token-hash array —
+    JVM-side, no Python.
+    """
+    tokens = F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias("th")
+    base = docs.select("doc_id", tokens)
+    bit_exprs = []
+    for bit in range(64):
+        # +1 when bit set else -1, summed over tokens; sign -> bit
+        vote = F.expr(
+            f"aggregate(th, 0L, (acc, h) -> acc + CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)"
+        )
+        bit_exprs.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sim = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sim = sim + e
+    return base.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash: block on 16-bit chunks (a pair
+    within Hamming distance 3 shares at least one of 4 chunks), then
+    verify the exact Hamming distance via bit_count."""
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))).cast("int")
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates only.
+
+    Candidates come from minhash LSH (bounded); the exact word-n-gram
+    Jaccard is computed with array_intersect/array_union on distinct
+    shingle arrays — still JVM-side.
+    """
+    cands = minhash_lsh_candidates(docs, text_col, num_hashes, bands)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+            )
+        ).alias("grams"),
+    )
+    out = (
+        cands.join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "ga"), "doc_a")
+        .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "gb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.expr(
+                    "try_divide(cast(size(array_intersect(ga, gb)) as double),"
+                    " cast(size(array_union(ga, gb)) as double))"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+# --------------------------------------- embedding cosine near-dup
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine similarity.
+
+    Blocks on `block_col` (or an LSH sign bucket when None) before the
+    exact pairwise cosine, keeping the join out of O(n^2).
+    """
+    vec = F.expr("transform(embedding, x -> cast(x as double))")
+    base = embeddings.select(F.col("vec_id"), vec.alias("v"), F.col(block_col).alias("blk") if block_col else _sign_bucket().alias("blk"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.expr(f"aggregate({side}.v, cast(0.0 as double), (acc, x) -> acc + x * x)")
+    )
+    cos = F.round(dot / (norm("a") * norm("b")), 4)
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _sign_bucket(dims: int = 8):
+    """LSH bucket from the sign pattern of the first `dims` components."""
+    bits = [
+        F.when(F.expr(f"embedding[{i}]") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(dims)
+    ]
+    out = bits[0]
+    for e in bits[1:]:
+        out = out + e
+    return out

@@ -1,0 +1,85 @@
+"""Spark layer for the lossless (tier-0) Gorilla blocks.
+
+Same distribution shape as the lossy frames: fit is an
+``applyInPandas`` per (conv_id, metric, day) — bounded groups — and
+decode is a shuffle-free ``mapInPandas``.  Blocks roundtrip
+bit-exactly (timestamps and values), which is what lets the retention
+layer replace raw rows with tier-0 blocks without violating the
+per-row invariant.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .core.gorilla import gorilla_decode, gorilla_encode
+
+BLOCK_SCHEMA = (
+    "conv_id string, metric string, day date, sample_count int, "
+    "payload binary, payload_bytes int, raw_bytes long"
+)
+
+DECODED_SCHEMA = "conv_id string, metric string, epoch_s long, value double"
+
+
+def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("bucket_ts")
+    values = pdf["value"].to_numpy(dtype=np.float64)
+    ts = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
+    blob = gorilla_encode(ts, values)
+    return pd.DataFrame(
+        [
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "metric": pdf["metric"].iloc[0],
+                "day": pdf["day"].iloc[0],
+                "sample_count": len(values),
+                "payload": blob,
+                "payload_bytes": len(blob),
+                "raw_bytes": len(values) * 16,
+            }
+        ]
+    )
+
+
+def fit_lossless(series: DataFrame) -> DataFrame:
+    """series (conv_id, metric, bucket_ts, value) -> gorilla blocks."""
+    with_day = series.withColumn("day", F.to_date("bucket_ts"))
+    return with_day.groupBy("conv_id", "metric", "day").applyInPandas(_fit, BLOCK_SCHEMA)
+
+
+def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        outs = []
+        for row in pdf.itertuples(index=False):
+            ts, values = gorilla_decode(bytes(row.payload))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": row.conv_id,
+                        "metric": row.metric,
+                        "epoch_s": ts,
+                        "value": values,
+                    }
+                )
+            )
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=["conv_id", "metric", "epoch_s", "value"])
+        )
+
+
+def decode_lossless(blocks: DataFrame) -> DataFrame:
+    decoded = blocks.select(
+        "conv_id", "metric", "sample_count", "payload"
+    ).mapInPandas(_decode, DECODED_SCHEMA)
+    return decoded.select(
+        "conv_id", "metric", F.timestamp_seconds("epoch_s").alias("bucket_ts"), "value"
+    )

@@ -1,0 +1,139 @@
+"""End-to-end spark-submit job: transcripts -> series -> rollups +
+tiers, checkpointed and resumable.
+
+Run:
+    spark-submit --py-files atsc_spark.zip -m atsc_spark.pipeline \\
+        --input <transcripts parquet/iceberg> --store <base dir>
+
+or locally:
+    python -m atsc_spark.pipeline --n-convs 500 --store /tmp/store
+
+Stages (each writes per-partition lineage; rerun resumes):
+  1. derive   — transcripts -> series (one hash agg)
+  2. rollup   — 1m/1h/1d continuous aggregates
+  3. tier0    — gorilla lossless blocks
+  4. frames   — ATSC frames at the tier-2 error bound
+  5. retention — age-based raw -> tier replacement
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointLog
+from .fixtures import transcripts
+from .frames import compression_report, fit_frames
+from .lossless import fit_lossless
+from .retention import TieredStore, TierPolicy
+from .rollup import rollup, rollup_cascade_step
+from .series import derive_series
+from .session import get_spark
+
+
+def run(
+    spark,
+    store_base: str,
+    input_path: str | None = None,
+    n_convs: int = 500,
+    max_error: float = 0.03,
+    today: date | None = None,
+) -> dict:
+    log = CheckpointLog(spark, f"{store_base}/lineage")
+    t_start = time.time()
+    stats: dict = {}
+
+    def stage(name: str, fn):
+        """Skip a whole stage if its lineage row exists (coarse-grained
+        resume; fine-grained per-partition resume is in run_stage)."""
+        if log.completed_keys(name).count() > 0:
+            stats[name] = "skipped (checkpoint)"
+            return None
+        t0 = time.time()
+        out = fn()
+        log.record([{"stage": name, "partition_key": "__all__", "status": "done",
+                     "rows_out": out if isinstance(out, int) else 0,
+                     "wall_ms": int((time.time() - t0) * 1000)}])
+        stats[name] = round(time.time() - t0, 2)
+        return out
+
+    if input_path:
+        raw = spark.read.parquet(input_path)
+    else:
+        raw = transcripts(spark, n_convs=n_convs)
+
+    series = derive_series(raw).cache()
+
+    def s_derive():
+        store.write_raw(series)
+        return series.count()
+
+    store = TieredStore(spark, store_base, TierPolicy())
+    stage("derive", s_derive)
+
+    def s_rollup():
+        r1m = rollup(series, "1 minute")
+        r1m.write.mode("overwrite").parquet(f"{store_base}/rollup_1m")
+        r1h = rollup_cascade_step(spark.read.parquet(f"{store_base}/rollup_1m"), "1 hour")
+        r1h.write.mode("overwrite").parquet(f"{store_base}/rollup_1h")
+        r1d = rollup_cascade_step(spark.read.parquet(f"{store_base}/rollup_1h"), "1 day")
+        r1d.write.mode("overwrite").parquet(f"{store_base}/rollup_1d")
+        return spark.read.parquet(f"{store_base}/rollup_1d").count()
+
+    stage("rollup", s_rollup)
+
+    def s_tier0():
+        blocks = fit_lossless(series)
+        blocks.write.mode("overwrite").parquet(f"{store_base}/blocks_all")
+        b = spark.read.parquet(f"{store_base}/blocks_all")
+        agg = b.agg(F.sum("raw_bytes").alias("r"), F.sum("payload_bytes").alias("p")).collect()[0]
+        stats["gorilla_ratio"] = round(agg.r / max(agg.p, 1), 2)
+        return b.count()
+
+    stage("tier0", s_tier0)
+
+    def s_frames():
+        frames = fit_frames(series, max_error=max_error)
+        frames.write.mode("overwrite").parquet(f"{store_base}/frames_all")
+        rep = compression_report(spark.read.parquet(f"{store_base}/frames_all")).collect()
+        raw_b = sum(r.raw_bytes for r in rep)
+        comp_b = sum(r.payload_bytes for r in rep)
+        stats["atsc_ratio"] = round(raw_b / max(comp_b, 1), 2)
+        stats["atsc_max_error"] = max((r.max_error or 0.0) for r in rep)
+        return int(sum(r.frames for r in rep))
+
+    stage("frames", s_frames)
+
+    def s_retention():
+        moves = store.retention_pass(today or date.today())
+        return len(moves)
+
+    stage("retention", s_retention)
+
+    stats["total_sec"] = round(time.time() - t_start, 2)
+    stats["series_rows"] = series.count()
+    series.unpersist()
+    return stats
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None, help="transcripts parquet path (default: synthesize)")
+    p.add_argument("--store", required=True)
+    p.add_argument("--n-convs", type=int, default=500)
+    p.add_argument("--error", type=float, default=0.03)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+    spark = get_spark("atsc_spark_pipeline", master=args.master)
+    stats = run(spark, args.store, args.input, args.n_convs, args.error)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,584 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) ->
+DataFrame callable, plus matching DuckDB oracle SQL.
+
+Conventions that keep the driver's order-insensitive value-hash stable
+across engines:
+- every order-dependent float aggregate is rounded (2-4 decimals) in
+  BOTH the Spark plan and the SQL;
+- ranks are computed over the *rounded* score with an id tiebreaker;
+- count-like columns are cast to BIGINT on the DuckDB side (DuckDB
+  sums of integers widen to HUGEINT);
+- all column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .datapipe import dedup, similarity, textstats
+from .frames import decode_frames, fit_frames, compression_report
+from .rollup import gap_fill, rollup, rollup_cascade_step
+from .series import series_from_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r4(col):
+    """Half-up 4-decimal rounding as floor(x*1e4 + 0.5)/1e4.
+
+    Spark's round() is decimal HALF_UP while DuckDB's is float
+    half-even — they disagree whenever a value lands on an exact
+    decimal half (common for pure projections over decimal-ish data).
+    floor-based rounding is bitwise-deterministic in both engines given
+    identical input bits, so deterministic-projection queries use this
+    on BOTH sides.  (Aggregates keep round(): their inputs already
+    differ in the last ulp across engines, and exact halves are
+    measure-zero there.)
+    """
+    return F.floor(col * 10000.0 + F.lit(0.5)) / 10000.0
+
+
+SQL_R4 = "floor({x} * 10000 + 0.5) / 10000"
+
+
+# --------------------------------------------------------------------
+# time-series rollups / gap-fill / window ops over `events`
+# --------------------------------------------------------------------
+
+
+def q_rollup_1m(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("bucket_ts"),
+            "cnt", "sum_value", "min_value", "max_value", "avg_value",
+        )
+    )
+
+
+SQL_ROLLUP_1M = """
+SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+       count(value) AS cnt, round(sum(value), 4) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _events_series(spark, sf_dir):
+    return series_from_events(_t(spark, sf_dir, "events"), "1 minute")
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    r1m = rollup(_events_series(spark, sf_dir), "1 minute")
+    r1h = rollup_cascade_step(r1m, "1 hour")
+    return r1h.select(
+        F.col("conv_id").alias("event_type"),
+        "bucket_ts",
+        "cnt",
+        F.round("sum", 4).alias("sum_value"),
+        F.col("min").alias("min_value"),
+        F.col("max").alias("max_value"),
+    )
+
+
+SQL_ROLLUP_1H = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, date_trunc('hour', bt) AS bucket_ts,
+       count(v) AS cnt, round(sum(v), 4) AS sum_value,
+       min(v) AS min_value, max(v) AS max_value
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    r1m = rollup(_events_series(spark, sf_dir), "1 minute")
+    r1h = rollup_cascade_step(r1m, "1 hour")
+    r1d = rollup_cascade_step(r1h, "1 day")
+    return r1d.select(
+        F.col("conv_id").alias("event_type"),
+        "bucket_ts",
+        "cnt",
+        F.round("sum", 2).alias("sum_value"),
+        F.col("min").alias("min_value"),
+        F.col("max").alias("max_value"),
+    )
+
+
+SQL_ROLLUP_1D = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, date_trunc('day', bt) AS bucket_ts,
+       count(v) AS cnt, round(sum(v), 2) AS sum_value,
+       min(v) AS min_value, max(v) AS max_value
+FROM b GROUP BY 1, 2
+"""
+
+
+def _rounded_series(spark, sf_dir):
+    return _events_series(spark, sf_dir).withColumn("value", F.round("value", 4))
+
+
+def q_gapfill_locf(spark, sf_dir):
+    filled = gap_fill(_rounded_series(spark, sf_dir), interval_s=60, strategy="locf")
+    return filled.select(
+        F.col("conv_id").alias("event_type"), "bucket_ts", "value", "is_filled"
+    )
+
+
+SQL_GAPFILL_LOCF = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bt) AS t0, max(bt) AS t1 FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM bounds
+)
+SELECT g.event_type, g.bucket_ts,
+       last_value(b.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (b.v IS NULL) AS is_filled
+FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bt = g.bucket_ts
+"""
+
+
+def q_gapfill_linear(spark, sf_dir):
+    filled = gap_fill(_rounded_series(spark, sf_dir), interval_s=60, strategy="linear")
+    return filled.select(
+        F.col("conv_id").alias("event_type"),
+        "bucket_ts",
+        _r4(F.col("value")).alias("value"),
+        "is_filled",
+    )
+
+
+SQL_GAPFILL_LINEAR = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bt) AS t0, max(bt) AS t1 FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM bounds
+), j AS (
+  SELECT g.event_type, g.bucket_ts, b.v,
+         epoch(g.bucket_ts) AS e,
+         last_value(b.v IGNORE NULLS) OVER w_back AS prev_v,
+         last_value(CASE WHEN b.v IS NOT NULL THEN epoch(g.bucket_ts) END IGNORE NULLS) OVER w_back AS prev_t,
+         first_value(b.v IGNORE NULLS) OVER w_fwd AS next_v,
+         first_value(CASE WHEN b.v IS NOT NULL THEN epoch(g.bucket_ts) END IGNORE NULLS) OVER w_fwd AS next_t
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bt = g.bucket_ts
+  WINDOW
+    w_back AS (PARTITION BY g.event_type ORDER BY g.bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd  AS (PARTITION BY g.event_type ORDER BY g.bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_ts,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v) * (e - prev_t) / (next_t - prev_t)
+              END) * 10000 + 0.5) / 10000 AS value,
+       (v IS NULL) AS is_filled
+FROM j
+"""
+
+
+def q_delta_of_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    d = e.select("user_id", "event_id", "ts", delta.alias("delta"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return d.select(
+        "user_id",
+        "event_id",
+        "delta",
+        (F.col("delta") - F.lag("delta").over(w2)).alias("dod"),
+    )
+
+
+SQL_DELTA_OF_DELTA = """
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id, event_id, delta,
+       delta - lag(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dod
+FROM d
+"""
+
+
+def q_session_segments(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ, which Spark won't cast straight to
+    # double; hop through TIMESTAMP (session tz = UTC, so identical)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    is_new = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    return (
+        e.select("user_id", is_new.alias("ns"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("ns").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_SESSION_SEGMENTS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 600
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY 1
+"""
+
+
+def q_asof_prev_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", F.lag("value").over(w).alias("prev_value"))
+
+
+SQL_ASOF_PREV = """
+SELECT event_id,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.select("event_type", "event_id", "value", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+SQL_TOPK = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+  FROM events
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM r WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------
+# relational coverage: TPC-H-style aggregation + joins
+# --------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------
+# dedup / text analysis / similarity
+# --------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.text_quality(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       floor((CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_token_len,
+       CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       least(1.0, floor(((least(length(text), 2000) / 2000.0) * 0.5 +
+             CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+                       BETWEEN 3.0 AND 12.0
+                  THEN 0.5 ELSE 0.2 END) * 10000 + 0.5) / 10000) AS quality_score
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, {textstats.lang_id_sql_case()} AS lang_pred FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 4) AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rnk <= 5
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    return similarity.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMB_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2
+FROM embeddings
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    return dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label"
+    )
+
+
+SQL_EMB_NEAR_DUPS = """
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT * FROM p WHERE cosine >= 0.3
+"""
+
+
+# --------------------------------------------------------------------
+# the ATSC frame pipeline itself (flagship)
+# --------------------------------------------------------------------
+
+
+def q_atsc_roundtrip(spark, sf_dir):
+    """derive series -> fit ATSC frames at error=0 -> decode -> compare
+    against a plain SQL aggregate.  Lossless tier: values must match
+    the oracle bit-for-bit (after the shared 4-decimal round)."""
+    series = _events_series(spark, sf_dir)
+    frames = fit_frames(series, max_error=0.0)
+    decoded = decode_frames(frames)
+    return decoded.select(
+        F.col("conv_id").alias("event_type"),
+        "bucket_ts",
+        F.round("value", 4).alias("value"),
+    )
+
+
+SQL_ATSC_ROUNDTRIP = """
+SELECT event_type, date_trunc('minute', ts) AS bucket_ts, round(sum(value), 4) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_atsc_frames_report(spark, sf_dir):
+    """Compression report at the default 3% error (rows-only check —
+    the compressed sizes have no SQL equivalent)."""
+    series = _events_series(spark, sf_dir)
+    frames = fit_frames(series, max_error=0.03)
+    return compression_report(frames)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    # 8 rows per band: a band only matches at high estimated Jaccard,
+    # keeping the candidate set near-linear in corpus size
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=4
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), min_jaccard=0.2
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h_cascade": q_rollup_1h_cascade,
+    "rollup_1d_cascade": q_rollup_1d_cascade,
+    "gapfill_locf": q_gapfill_locf,
+    "gapfill_linear": q_gapfill_linear,
+    "delta_of_delta": q_delta_of_delta,
+    "session_segments": q_session_segments,
+    "asof_prev_value": q_asof_prev_value,
+    "topk_per_group": q_topk_per_group,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_norms": q_embedding_norms,
+    "embedding_near_dups": q_embedding_near_dups,
+    "atsc_roundtrip": q_atsc_roundtrip,
+    # rows-only (non-SQL-expressible)
+    "atsc_frames_report": q_atsc_frames_report,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ivf_ann": q_ivf_ann,
+}
+
+ORACLES: dict[str, str] = {
+    "rollup_1m": SQL_ROLLUP_1M,
+    "rollup_1h_cascade": SQL_ROLLUP_1H,
+    "rollup_1d_cascade": SQL_ROLLUP_1D,
+    "gapfill_locf": SQL_GAPFILL_LOCF,
+    "gapfill_linear": SQL_GAPFILL_LINEAR,
+    "delta_of_delta": SQL_DELTA_OF_DELTA,
+    "session_segments": SQL_SESSION_SEGMENTS,
+    "asof_prev_value": SQL_ASOF_PREV,
+    "topk_per_group": SQL_TOPK,
+    "pricing_summary": SQL_PRICING,
+    "revenue_by_nation": SQL_REVENUE_NATION,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_count": SQL_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    "embedding_norms": SQL_EMB_NORMS,
+    "embedding_near_dups": SQL_EMB_NEAR_DUPS,
+    "atsc_roundtrip": SQL_ATSC_ROUNDTRIP,
+}

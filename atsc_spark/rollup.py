@@ -1,0 +1,200 @@
+"""Continuous aggregates: 1m/1h/1d rollup cascade with gap-fill.
+
+The reference has no aggregation layer (it is a compressor CLI); the
+north rule adds TimescaleDB-style continuous aggregates on top.  All
+of this is stock Spark — hash aggregation with automatic partial/final
+phases, window functions for LOCF, `sequence`+`explode` for the
+gap-fill grid (the Spark expression of VSRI's `get_all_timestamps`,
+`/root/reference/vsri/src/lib.rs:352-362`).
+
+Scale notes:
+- The cascade re-aggregates the *previous* rollup, not the raw series:
+  1m -> 1h -> 1d shrinks the input 60x per step.  sum/count/min/max
+  compose exactly; avg is re-derived as sum/count at read time.
+- Each rollup is one shuffle keyed on (conv_id, metric, bucket) —
+  map-side partial aggregation bounds shuffle volume by bucket
+  cardinality, not row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KEYS = ["conv_id", "metric"]
+
+ROLLUP_COLS = ["cnt", "sum", "min", "max"]
+
+
+def rollup(series: DataFrame, interval: str = "1 minute") -> DataFrame:
+    """Raw series -> rollup at `interval`:
+    ``(conv_id, metric, bucket_ts, cnt, sum, min, max, avg)``."""
+    return (
+        series.groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select(
+            *KEYS,
+            F.col("w.start").alias("bucket_ts"),
+            "cnt",
+            "sum",
+            "min",
+            "max",
+            F.expr("try_divide(sum, cnt)").alias("avg"),
+        )
+    )
+
+
+def rollup_cascade_step(finer: DataFrame, interval: str) -> DataFrame:
+    """Re-aggregate an existing rollup into a coarser one.
+
+    sum-of-sums / sum-of-counts / min-of-mins / max-of-maxes — exactly
+    equal to aggregating the raw series at the coarser interval.
+    """
+    return (
+        finer.groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select(
+            *KEYS,
+            F.col("w.start").alias("bucket_ts"),
+            "cnt",
+            "sum",
+            "min",
+            "max",
+            F.expr("try_divide(sum, cnt)").alias("avg"),
+        )
+    )
+
+
+def rollup_cascade(series: DataFrame) -> dict[str, DataFrame]:
+    """The standard 1m -> 1h -> 1d cascade."""
+    r1m = rollup(series, "1 minute")
+    r1h = rollup_cascade_step(r1m, "1 hour")
+    r1d = rollup_cascade_step(r1h, "1 day")
+    return {"1m": r1m, "1h": r1h, "1d": r1d}
+
+
+def _grid(df: DataFrame, interval_s: int, ts_col: str = "bucket_ts") -> DataFrame:
+    """Per-(conv_id, metric) dense timestamp grid between each series'
+    min and max bucket, via sequence+explode (VSRI T4)."""
+    bounds = df.groupBy(*KEYS).agg(
+        F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1")
+    )
+    return bounds.select(
+        *KEYS,
+        F.explode(
+            F.sequence(
+                "t0", "t1", F.expr(f"INTERVAL {interval_s} SECONDS")
+            )
+        ).alias(ts_col),
+    )
+
+
+def gap_fill(
+    series: DataFrame,
+    interval_s: int = 20,
+    strategy: str = "locf",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fill missing buckets on a regular grid.
+
+    strategy='locf'  — last observation carried forward
+                       (`vsri` T5 nearest-previous semantics)
+    strategy='linear' — linear interpolation between the surrounding
+                        observed points; ends fall back to the nearest
+                        observed value.
+
+    Output: ``(conv_id, metric, bucket_ts, value, is_filled)``.
+    Implementation is pure window functions — no UDF, no driver loop.
+    """
+    grid = _grid(series, interval_s)
+    joined = grid.join(series, [*KEYS, "bucket_ts"], "left")
+
+    w_back = (
+        Window.partitionBy(*KEYS)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled_flag = F.col(value_col).isNull()
+
+    if strategy == "locf":
+        value = F.last(value_col, ignorenulls=True).over(w_back)
+        out = joined.select(
+            *KEYS,
+            "bucket_ts",
+            value.alias(value_col),
+            filled_flag.alias("is_filled"),
+        )
+        return out
+
+    if strategy == "linear":
+        # IMPORTANT: a first(...) over (currentRow..unboundedFollowing)
+        # frame defeats Spark's running-frame optimization and is
+        # O(n^2) per partition.  The equivalent last(...) over a
+        # DESCENDING order with an unboundedPreceding..currentRow frame
+        # is a single running pass.
+        w_fwd = (
+            Window.partitionBy(*KEYS)
+            .orderBy(F.desc("bucket_ts"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        epoch = F.unix_timestamp("bucket_ts").cast("double")
+        obs_ts = F.when(F.col(value_col).isNotNull(), epoch)
+        prev_v = F.last(value_col, ignorenulls=True).over(w_back)
+        prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
+        next_v = F.last(value_col, ignorenulls=True).over(w_fwd)
+        next_t = F.last(obs_ts, ignorenulls=True).over(w_fwd)
+        interp = (
+            F.when(F.col(value_col).isNotNull(), F.col(value_col))
+            .when(prev_v.isNull(), next_v)
+            .when(next_v.isNull(), prev_v)
+            .otherwise(
+                prev_v + (next_v - prev_v) * (epoch - prev_t) / (next_t - prev_t)
+            )
+        )
+        return joined.select(
+            *KEYS,
+            "bucket_ts",
+            interp.alias(value_col),
+            filled_flag.alias("is_filled"),
+        )
+
+    raise ValueError(f"unknown gap-fill strategy: {strategy}")
+
+
+def delta_of_delta(series: DataFrame, value_col: str = "value") -> DataFrame:
+    """Second difference per series — the integer stream Gorilla's
+    timestamp compression encodes (also useful as a feature).
+    Pure lag windows."""
+    w = Window.partitionBy(*KEYS).orderBy("bucket_ts")
+    d1 = F.col(value_col) - F.lag(value_col, 1).over(w)
+    return series.select(
+        *KEYS,
+        "bucket_ts",
+        value_col,
+        d1.alias("delta"),
+        (d1 - F.lag(d1, 1).over(w)).alias("delta_of_delta"),
+    )
+
+
+def session_segments(
+    series: DataFrame, expected_interval_s: int = 20
+) -> DataFrame:
+    """VSRI-style segment identification as a window pass: a new
+    segment starts whenever the gap to the previous bucket differs from
+    the expected cadence (`vsri/src/lib.rs:249-284` re-expressed as
+    one running sum instead of streaming appends)."""
+    w = Window.partitionBy(*KEYS).orderBy("bucket_ts")
+    gap = F.unix_timestamp("bucket_ts") - F.unix_timestamp(F.lag("bucket_ts", 1).over(w))
+    is_new = F.when(gap.isNull() | (gap != expected_interval_s), 1).otherwise(0)
+    return series.withColumn("seg_id", F.sum(is_new).over(w))

@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from atsc_spark.session import get_spark
+    from atsc_spark import queries as Q
+    from atsc_spark.frames import compression_report, decode_frames, fit_frames
+    from atsc_spark.lossless import fit_lossless
+    from atsc_spark.rollup import gap_fill, rollup, rollup_cascade_step
+    from pyspark.sql import functions as F
+
+    spark = get_spark("atsc_spark_bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    n_events = events.count()
+
+    # flagship: derive 1m series -> ATSC frames @3% -> report
+    from atsc_spark.series import series_from_events
+
+    def run_pipeline():
+        series = series_from_events(events, "1 minute")
+        frames = fit_frames(series, max_error=0.03).cache()
+        rep = compression_report(frames).collect()
+        raw = sum(r.raw_bytes for r in rep)
+        comp = sum(r.payload_bytes for r in rep)
+        extras["compression_ratio"] = round(raw / max(comp, 1), 2)
+        extras["max_frame_error"] = max((r.max_error or 0.0) for r in rep)
+        decode_frames(frames).count()
+        frames.unpersist()
+
+    timed("q_atsc_pipeline", run_pipeline)
+
+    def run_gorilla():
+        series = series_from_events(events, "1 minute")
+        blocks = fit_lossless(series).cache()
+        agg = blocks.agg(
+            F.sum("raw_bytes").alias("r"), F.sum("payload_bytes").alias("p")
+        ).collect()[0]
+        extras["gorilla_ratio"] = round(agg.r / max(agg.p, 1), 2)
+        blocks.unpersist()
+
+    timed("q_gorilla_lossless", run_gorilla)
+
+    def run_cascade():
+        series = series_from_events(events, "1 minute")
+        r1m = rollup(series, "1 minute")
+        r1h = rollup_cascade_step(r1m, "1 hour")
+        rollup_cascade_step(r1h, "1 day").count()
+
+    timed("q_rollup_cascade", run_cascade)
+
+    timed("q_gapfill_locf", lambda: Q.q_gapfill_locf(spark, sf_dir).count())
+    timed("q_gapfill_linear", lambda: Q.q_gapfill_linear(spark, sf_dir).count())
+    timed("q_window_dod", lambda: Q.q_delta_of_delta(spark, sf_dir).count())
+    timed("q_pricing_summary", lambda: Q.q_pricing_summary(spark, sf_dir).collect())
+    timed("q_revenue_by_nation", lambda: Q.q_revenue_by_nation(spark, sf_dir).collect())
+    timed("q_dedup_exact", lambda: Q.q_dedup_exact(spark, sf_dir).count())
+    timed("q_minhash_lsh", lambda: Q.q_minhash_lsh(spark, sf_dir).count())
+    timed("q_ann_topk", lambda: Q.q_ann_cosine_topk(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    events.unpersist()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows_events": n_events,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

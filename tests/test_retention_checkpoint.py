@@ -1,0 +1,107 @@
+"""Tiered retention + checkpoint/resume tests."""
+
+from datetime import date
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from atsc_spark.checkpoint import CheckpointLog, run_stage
+from atsc_spark.fixtures import transcripts
+from atsc_spark.lossless import decode_lossless, fit_lossless
+from atsc_spark.retention import TieredStore, TierPolicy
+from atsc_spark.series import derive_series
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    df = derive_series(
+        transcripts(spark, n_convs=40, window_days=3), bucket="20 seconds",
+        include_global=False,
+    ).cache()
+    df.count()
+    return df
+
+
+def test_lossless_spark_roundtrip(spark, series):
+    blocks = fit_lossless(series)
+    decoded = decode_lossless(blocks)
+    a = series.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    b = decoded.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert np.array_equal(a["value"].to_numpy(), b["value"].to_numpy())  # bit-exact
+    pd.testing.assert_series_equal(a["bucket_ts"], b["bucket_ts"])
+
+
+def test_retention_tiers_and_reads(spark, series, tmp_path):
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(series)
+    n_raw = series.count()
+
+    # nothing old enough: no moves
+    assert store.retention_pass(date(2024, 1, 1)) == []
+    assert store.read_series().count() == n_raw
+
+    # age everything into tier0 (lossless): counts and values preserved
+    store.policy = TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000)
+    moves = store.retention_pass(date(2024, 3, 1))
+    assert moves and all(t == "tier0" for _, t in moves)
+    back = store.read_series()
+    assert back.count() == n_raw
+    a = series.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    b = back.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    assert np.array_equal(a["value"].to_numpy(), b["value"].to_numpy())
+
+    # re-running the pass is a no-op (idempotent)
+    assert store.retention_pass(date(2024, 3, 1)) == []
+
+
+def test_retention_lossy_tier(spark, series, tmp_path):
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store2"),
+        TierPolicy(t0_days=0, t1_days=0, t2_days=10000, t3_days=30000),
+    )
+    store.write_raw(series)
+    moves = store.retention_pass(date(2024, 6, 1))
+    assert all(t == "tier1" for _, t in moves)
+    back = store.read_series().toPandas().sort_values(["conv_id", "metric", "bucket_ts"])
+    orig = series.toPandas().sort_values(["conv_id", "metric", "bucket_ts"])
+    assert len(back) == len(orig)
+    o = orig["value"].to_numpy()
+    g = back["value"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mape = np.nanmean(np.abs((g - o) / o))
+    assert mape <= 0.01 + 1e-9
+
+
+def test_checkpoint_resume(spark, series, tmp_path):
+    log = CheckpointLog(spark, str(tmp_path / "lineage"))
+    out_path = str(tmp_path / "out")
+
+    calls = []
+
+    def process(df):
+        calls.append(1)
+        return df.groupBy("partition_key", "metric").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+
+    key = F.col("metric")
+    r1 = run_stage(log, "agg", series, key, process, out_path)
+    assert r1.processed_keys == 3 and r1.skipped_keys == 0
+
+    # second run: everything already done, nothing recomputed
+    r2 = run_stage(log, "agg", series, key, process, out_path)
+    assert r2.processed_keys == 0 and r2.skipped_keys == 3
+    assert len(calls) == 1
+
+    lineage = log.read().toPandas()
+    assert set(lineage.partition_key) == {"turn_rate", "text_len", "tool_calls"}
+    assert (lineage.status == "done").all()
+    assert (lineage.rows_in > 0).all() and (lineage.rows_out > 0).all()
