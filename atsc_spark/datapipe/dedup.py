@@ -60,10 +60,14 @@ def minhash_signatures(
     component is the array_min of hashed shingles.  Entirely built-in
     functions: transform + array_min, vectorized by codegen.
     """
-    sh = _shingles(text_col, shingle_k).alias("sh")
-    base = docs.select("doc_id", sh)
+    # hash each shingle string ONCE, then derive the k signature
+    # components by re-hashing the 8-byte value — ~k times cheaper
+    # than hashing the string per seed
+    base = docs.select("doc_id", _shingles(text_col, shingle_k).alias("sh")).select(
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs")
+    )
     sig_cols = [
-        F.array_min(F.expr(f"transform(sh, s -> xxhash64(s, {seed}))")).alias(f"h{seed}")
+        F.array_min(F.expr(f"transform(hs, h -> xxhash64(h, {seed}))")).alias(f"h{seed}")
         for seed in range(num_hashes)
     ]
     return base.select("doc_id", F.array(*sig_cols).alias("sig"))

@@ -120,3 +120,63 @@ def transcripts(
         tool.alias("tool"),
         (F.col("conv_start") + F.make_interval(secs=elapsed)).alias("ts"),
     )
+
+
+def monitoring_series(
+    spark: SparkSession,
+    n_series: int = 100,
+    samples_per_series: int = 4320,
+    seed: int = 42,
+    cadence_s: int = 20,
+) -> DataFrame:
+    """Reference-demo-corpora shapes recast as series (BASELINE.md):
+    cpu_utilization-like (noisy % with flat tail), iowait-like
+    (near-zero spiky), heap-gauge-like (large integral), uptime-like
+    (constant).  One series-day is 4,320 samples at the reference's
+    20 s cadence.  Fully JVM-side generation (sequence+explode, hash
+    uniforms, Box-Muller) — scales to any series count.
+    """
+    base = spark.range(n_series).select(
+        F.format_string("series_%06d", F.col("id")).alias("conv_id"),
+        F.col("id").alias("sid"),
+        F.explode(F.sequence(F.lit(0), F.lit(samples_per_series - 1))).alias("i"),
+    )
+    u1 = _uniform("sid", "i", salt=seed * 13 + 1)
+    u2 = _uniform("sid", "i", salt=seed * 13 + 2)
+    u3 = _uniform("sid", "i", salt=seed * 13 + 3)
+    gauss = F.sqrt(-2.0 * F.log(F.greatest(u1, F.lit(1e-12)))) * F.cos(
+        2.0 * 3.141592653589793 * u2
+    )
+    # Mix mirrors the paper corpus' composition (§7: mostly slow DB
+    # monitoring gauges, ~13% near-perfect-fit, spiky signals rare):
+    # 40% cpu-like, 5% iowait-like, 35% heap-like, 20% constant.
+    bucket = F.pmod(F.col("sid"), F.lit(20))
+    kind = (
+        F.when(bucket < 8, 0).when(bucket < 9, 1).when(bucket < 16, 2).otherwise(3)
+    )
+    i = F.col("i").cast("double")
+    flat_start = int(samples_per_series * 0.8)
+    i_eff = F.when((kind == 0) & (F.col("i") >= flat_start), F.lit(float(flat_start))).otherwise(i)
+    cpu = F.round(F.abs(40.0 + 20.0 * F.sin(i_eff / 120.0)
+                        + F.when(F.col("i") >= flat_start, 0.0).otherwise(0.8 * gauss)), 2) + 1.0
+    iowait = F.round(F.abs(0.02 + 0.005 * gauss), 3) + 0.01 + F.when(
+        u3 > 0.97, F.round(u1 * 2.0, 3)
+    ).otherwise(0.0)
+    heap = F.round(1e8 + 1e6 * F.sin(i / 300.0) + F.floor(u3 * 1e5), 0)
+    uptime = F.lit(12345.0)
+    value = (
+        F.when(kind == 0, cpu)
+        .when(kind == 1, iowait)
+        .when(kind == 2, heap)
+        .otherwise(uptime)
+    )
+    metric = (
+        F.when(kind == 0, "cpu_like")
+        .when(kind == 1, "iowait_like")
+        .when(kind == 2, "heap_like")
+        .otherwise(F.lit("uptime_like"))
+    )
+    ts = F.to_timestamp(F.lit(EPOCH_START)) + F.make_interval(secs=F.col("i") * cadence_s)
+    return base.select(
+        "conv_id", metric.alias("metric"), ts.alias("bucket_ts"), value.alias("value")
+    )

@@ -1,0 +1,61 @@
+"""Multimodal plumbing + streaming ingest tests."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from atsc_spark.datapipe import multimodal as mm
+from atsc_spark.fixtures import transcripts
+
+
+def test_image_featurize_shapes(spark):
+    media = mm.synthetic_media(spark, n=30)
+    feats = mm.decode_and_featurize_images(media, feature_dim=16).toPandas()
+    assert len(feats) == media.filter("kind = 'image'").count()
+    assert all(len(f) == 16 for f in feats["features"])
+    # deterministic: same input -> same features + digest
+    feats2 = mm.decode_and_featurize_images(media, feature_dim=16).toPandas()
+    assert feats.sort_values("media_id")["sha256"].tolist() == (
+        feats2.sort_values("media_id")["sha256"].tolist()
+    )
+
+
+def test_video_frame_sampling(spark):
+    media = mm.synthetic_media(spark, n=30)
+    frames = mm.sample_video_frames(media, every_ms=1000).toPandas()
+    vids = media.filter("kind = 'video'").select("media_id", "duration_ms").toPandas()
+    for row in vids.itertuples(index=False):
+        expected = max(1, -(-int(row.duration_ms) // 1000))
+        got = (frames.media_id == row.media_id).sum()
+        assert got == expected
+
+
+def test_media_repartition_runs(spark):
+    media = mm.synthetic_media(spark, n=30)
+    out = mm.media_repartition(media, target_bytes_per_task=4096)
+    assert out.count() == 30
+    assert out.rdd.getNumPartitions() >= 2
+
+
+def test_streaming_series_to_frames(spark, tmp_path):
+    from atsc_spark.streaming import stream_series_to_frames
+
+    inp = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    t = transcripts(spark, n_convs=25, window_days=1)
+    t.write.mode("overwrite").parquet(inp)
+
+    q = stream_series_to_frames(spark, inp, store)
+    q.awaitTermination(120)
+    series = spark.read.parquet(f"{store}/series_stream")
+    frames = spark.read.parquet(f"{store}/frames_stream")
+    assert series.count() > 0
+    assert frames.count() > 0
+    # decoded stream frames reproduce the streamed series values
+    from atsc_spark.frames import decode_frames
+
+    decoded = decode_frames(frames)
+    a = series.orderBy("conv_id", "metric", "bucket_ts").toPandas()
+    b = decoded.orderBy("conv_id", "metric", "bucket_ts").toPandas()
+    assert len(a) == len(b)

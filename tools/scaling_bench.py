@@ -1,0 +1,102 @@
+"""Scaling evidence: the same job at two parallelism levels.
+
+The north rule's two-cluster-size criterion (N vs 4N executors,
+efficiency >= 0.8) cannot use a real cluster in this sandbox; per
+BASELINE.md the stand-in is local[8] vs local[32] over the *same
+deterministic input*.  Each run is a fresh subprocess (own JVM) so the
+measurements are independent.
+
+The measured job is the engine's core workload: synthesize transcripts
+(fixed seed), derive per-conversation series, fit ATSC frames at 3%,
+decode and count — i.e. the full shuffle + applyInPandas + mapInPandas
+path.  Throughput metric: turns/sec.
+
+Usage:
+    python tools/scaling_bench.py              # runs 8 and 32, prints JSON
+    python tools/scaling_bench.py --single 8   # one measured run (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CONVS = int(os.environ.get("SCALING_N_CONVS", "3000"))
+
+
+def single(cores: int) -> dict:
+    from atsc_spark.session import get_spark
+    from atsc_spark.fixtures import transcripts
+    from atsc_spark.series import derive_series
+    from atsc_spark.frames import decode_frames, fit_frames
+
+    spark = get_spark(
+        f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = transcripts(spark, n_convs=N_CONVS, window_days=7, partitions=cores * 2).cache()
+    n_turns = t.count()  # materialize input outside the timed section
+
+    t0 = time.time()
+    series = derive_series(t)
+    frames = fit_frames(series, max_error=0.03)
+    decoded_rows = decode_frames(frames).count()
+    wall = time.time() - t0
+
+    out = {
+        "cores": cores,
+        "turns": n_turns,
+        "decoded_rows": decoded_rows,
+        "wall_sec": round(wall, 2),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--single", type=int, default=None)
+    p.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    args = p.parse_args()
+
+    if args.single:
+        print(json.dumps(single(args.single)))
+        return
+
+    runs = {}
+    for cores in args.levels:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=1800,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        runs[cores] = json.loads(line)
+
+    lo, hi = args.levels
+    speedup = runs[hi]["turns_per_sec"] / runs[lo]["turns_per_sec"]
+    efficiency = speedup / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "job": "derive+fit_frames+decode (n_convs=%d)" % N_CONVS,
+                "runs": runs,
+                "speedup": round(speedup, 2),
+                "scaling_efficiency": round(efficiency, 3),
+                "target": 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
