@@ -24,6 +24,68 @@ from __future__ import annotations
 import struct
 
 
+import numpy as np
+
+
+def uvarints_vec(values) -> bytes:
+    return uvarints_vec_with_lens(values)[0]
+
+
+def uvarints_vec_with_lens(values) -> tuple[bytes, "np.ndarray"]:
+    """Vectorized bincode unsigned-varint encoding of an integer array.
+
+    Same bytes as Writer.uvarint per element, assembled with NumPy
+    scatter writes instead of a Python loop — the hot path for RLE
+    index lists and polynomial point arrays inside the tournament.
+    Returns (bytes, per-element byte lengths).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    lens = np.select(
+        [v < 251, v <= 0xFFFF, v <= 0xFFFFFFFF], [1, 3, 5], default=9
+    ).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    out = np.zeros(int(lens.sum()), dtype=np.uint8)
+
+    m1 = v < 251
+    out[offs[m1]] = v[m1]
+
+    m3 = (~m1) & (v <= 0xFFFF)
+    if m3.any():
+        o = offs[m3]
+        out[o] = 0xFB
+        out[o + 1] = (v[m3] & np.uint64(0xFF)).astype(np.uint8)
+        out[o + 2] = ((v[m3] >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)
+
+    m5 = (v > 0xFFFF) & (v <= 0xFFFFFFFF)
+    if m5.any():
+        o = offs[m5]
+        out[o] = 0xFC
+        for b in range(4):
+            out[o + 1 + b] = ((v[m5] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+
+    m9 = v > 0xFFFFFFFF
+    if m9.any():
+        o = offs[m9]
+        out[o] = 0xFD
+        for b in range(8):
+            out[o + 1 + b] = ((v[m9] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+
+    return out.tobytes(), lens
+
+
+def ivarints_vec(values) -> bytes:
+    """Vectorized signed (zigzag) varints."""
+    return ivarints_vec_with_lens(values)[0]
+
+
+def ivarints_vec_with_lens(values) -> tuple[bytes, "np.ndarray"]:
+    v = np.asarray(values, dtype=np.int64)
+    zz = (v.astype(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64)
+    return uvarints_vec_with_lens(zz)
+
+
 def zigzag(v: int) -> int:
     return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
 

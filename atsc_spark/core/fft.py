@@ -78,12 +78,17 @@ def fft_trim(spectrum: np.ndarray, max_freq: int) -> list[tuple[int, np.float32,
 
 def _mirror(freqs, length: int) -> np.ndarray:
     """Rebuild the full complex spectrum from the stored half
-    (`fft.rs:401-422`): conjugate-mirror every non-DC bin."""
+    (`fft.rs:401-422`): conjugate-mirror every non-DC bin.
+    Vectorized scatter (runs up to 22x per bounded-error fit)."""
     full = np.zeros(length, dtype=np.complex64)
-    for pos, re, im in freqs:
-        full[pos] = complex(re, im)
-        if pos != 0:
-            full[length - pos] = complex(re, -im)
+    if not freqs:
+        return full
+    pos = np.fromiter((f[0] for f in freqs), dtype=np.int64, count=len(freqs))
+    re = np.fromiter((f[1] for f in freqs), dtype=np.float32, count=len(freqs))
+    im = np.fromiter((f[2] for f in freqs), dtype=np.float32, count=len(freqs))
+    full[pos] = re + 1j * im
+    nz = pos != 0
+    full[length - pos[nz]] = re[nz] - 1j * im[nz]
     return full
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bincodec import Reader, Writer
+from .bincodec import Reader, Writer, ivarints_vec
 from .errors import calculate_error
 from .stats import F64, I16, I32, U8
 from .utils import round_and_limit, round_f64, saturating_cast
@@ -201,17 +201,13 @@ class PolynomialFrame:
         w.enum(self.bitdepth)
         w.vec_len(len(self.values))
         if self.bitdepth == U8:
-            for v in saturating_cast(self.values, np.uint8):
-                w.u8(int(v))
+            w.raw(saturating_cast(self.values, np.uint8).tobytes())
         elif self.bitdepth == I16:
-            for v in saturating_cast(self.values, np.int16):
-                w.ivarint(int(v))
+            w.raw(ivarints_vec(saturating_cast(self.values, np.int16)))
         elif self.bitdepth == I32:
-            for v in saturating_cast(self.values, np.int32):
-                w.ivarint(int(v))
+            w.raw(ivarints_vec(saturating_cast(self.values, np.int32)))
         else:
-            for v in self.values:
-                w.f64(float(v))
+            w.raw(np.asarray(self.values, dtype="<f8").tobytes())
         w.f64(self.min)
         w.f64(self.max)
         w.u8(self.point_step)

@@ -16,7 +16,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bincodec import Reader, Writer
+from .bincodec import (
+    Reader,
+    Writer,
+    ivarints_vec,
+    ivarints_vec_with_lens as _ivarints_with_lens,
+    uvarints_vec_with_lens as _uvarints_with_lens,
+)
 from .stats import F64, I16, I32, U8
 from .utils import round_half_away, saturating_cast
 
@@ -91,29 +97,43 @@ def rle_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
     w = Writer()
     w.u8(RLE_ID)
     w.enum(stats.bitdepth)
-    # group consecutive equal bit-patterns after the sort
-    uniq_bits, first_idx = np.unique(bits[order], return_index=True)
-    # np.unique sorts ascending by u64 — same order as BTreeMap<u64>
+    # group consecutive equal bit-patterns after the (stable) sort:
+    # np.unique sorts ascending by u64 — same order as BTreeMap<u64>;
+    # stability keeps each value's start indices in ascending order,
+    # matching the reference's append-in-encounter-order.
+    uniq_bits, first_idx, group_counts = np.unique(
+        bits[order], return_index=True, return_counts=True
+    )
     w.vec_len(len(uniq_bits))
     sorted_starts = starts[order]
-    sorted_bits = bits[order]
-    for i, ub in enumerate(uniq_bits):
-        lo = first_idx[i]
-        hi = first_idx[i + 1] if i + 1 < len(uniq_bits) else len(sorted_bits)
-        value = float(np.uint64(ub).view(np.float64))
-        idxs = np.sort(sorted_starts[lo:hi])
-        if stats.bitdepth == U8:
-            w.u8(int(saturating_cast(np.array([value]), np.uint8)[0]))
-        elif stats.bitdepth == I16:
-            w.ivarint(int(saturating_cast(np.array([value]), np.int16)[0]))
-        elif stats.bitdepth == I32:
-            w.ivarint(int(saturating_cast(np.array([value]), np.int32)[0]))
-        else:
-            w.f64(value)
-        w.vec_len(len(idxs))
-        for ix in idxs:
-            w.uvarint(int(ix))
-    return w.bytes(), 0.0
+
+    # one vectorized varint pass over ALL indices, then slice per group
+    idx_bytes, idx_lens = _uvarints_with_lens(sorted_starts)
+    idx_spans = np.add.reduceat(idx_lens, first_idx) if len(uniq_bits) else np.empty(0, np.int64)
+    idx_offs = np.concatenate([[0], np.cumsum(idx_spans)[:-1]]).astype(np.int64)
+
+    uniq_values = uniq_bits.view(np.float64)
+    if stats.bitdepth == U8:
+        val_bytes = saturating_cast(uniq_values, np.uint8).tobytes()
+        val_lens = np.ones(len(uniq_bits), dtype=np.int64)
+    elif stats.bitdepth == I16:
+        val_bytes, val_lens = _ivarints_with_lens(saturating_cast(uniq_values, np.int16))
+    elif stats.bitdepth == I32:
+        val_bytes, val_lens = _ivarints_with_lens(saturating_cast(uniq_values, np.int32))
+    else:
+        val_bytes = uniq_values.astype("<f8").tobytes()
+        val_lens = np.full(len(uniq_bits), 8, dtype=np.int64)
+    val_offs = np.concatenate([[0], np.cumsum(val_lens)[:-1]]).astype(np.int64)
+
+    cnt_bytes, cnt_lens = _uvarints_with_lens(group_counts)
+    cnt_offs = np.concatenate([[0], np.cumsum(cnt_lens)[:-1]]).astype(np.int64)
+
+    parts = [w.bytes()]
+    for i in range(len(uniq_bits)):
+        parts.append(val_bytes[val_offs[i] : val_offs[i] + val_lens[i]])
+        parts.append(cnt_bytes[cnt_offs[i] : cnt_offs[i] + cnt_lens[i]])
+        parts.append(idx_bytes[idx_offs[i] : idx_offs[i] + idx_spans[i]])
+    return b"".join(parts), 0.0
 
 
 def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
@@ -153,9 +173,7 @@ def noop_compress(data: np.ndarray, stats=None) -> tuple[bytes, float]:
     w = Writer()
     w.u8(NOOP_ID)
     w.vec_len(len(ints))
-    for x in ints:
-        w.ivarint(int(x))
-    return w.bytes(), 0.0
+    return w.bytes() + ivarints_vec(ints), 0.0
 
 
 def noop_decompress(sample_count: int, payload: bytes) -> np.ndarray:

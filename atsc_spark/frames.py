@@ -138,6 +138,7 @@ def fit_frames(
     max_error: float = 0.03,
     compressor: str = "auto",
     speed: int = 0,
+    num_tasks: int | None = None,
 ) -> DataFrame:
     """series ``(conv_id, metric, bucket_ts, value)`` -> frames table.
 
@@ -145,11 +146,21 @@ def fit_frames(
     cadence one series-day is <= 4,320 samples -> chunk plan
     [4096, 224].  Everything inside the UDF is numpy over one Arrow
     batch.
+
+    Partitioning note: frame fitting is compute-dense but byte-light
+    (aggregated series), so AQE's byte-based partition coalescing would
+    collapse it to a handful of tasks and serialize the CPU work.  We
+    pin an explicit hash repartition on the group key — AQE preserves
+    user-specified counts, and the groupBy reuses the partitioning (no
+    second shuffle).
     """
     comp_id = COMPRESSOR_IDS[compressor] if isinstance(compressor, str) else compressor
     fit = _make_fit_fn(comp_id, max_error, speed)
     with_day = series.withColumn("day", F.to_date("bucket_ts"))
-    return with_day.groupBy("conv_id", "metric", "day").applyInPandas(fit, FRAME_SCHEMA)
+    if num_tasks is None:
+        num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
+    partitioned = with_day.repartition(num_tasks, "conv_id", "metric", "day")
+    return partitioned.groupBy("conv_id", "metric", "day").applyInPandas(fit, FRAME_SCHEMA)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -48,10 +48,18 @@ def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def fit_lossless(series: DataFrame) -> DataFrame:
-    """series (conv_id, metric, bucket_ts, value) -> gorilla blocks."""
+def fit_lossless(series: DataFrame, num_tasks: int | None = None) -> DataFrame:
+    """series (conv_id, metric, bucket_ts, value) -> gorilla blocks.
+
+    Explicit repartition for the same reason as frames.fit_frames:
+    AQE's byte-based coalescing would serialize this compute-dense,
+    byte-light stage.
+    """
     with_day = series.withColumn("day", F.to_date("bucket_ts"))
-    return with_day.groupBy("conv_id", "metric", "day").applyInPandas(_fit, BLOCK_SCHEMA)
+    if num_tasks is None:
+        num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
+    partitioned = with_day.repartition(num_tasks, "conv_id", "metric", "day")
+    return partitioned.groupBy("conv_id", "metric", "day").applyInPandas(_fit, BLOCK_SCHEMA)
 
 
 def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
