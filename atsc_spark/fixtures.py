@@ -51,10 +51,9 @@ def transcripts(
     convs = spark.range(n_convs, numPartitions=partitions)
     u_len = _uniform(F.col("id"), salt=seed * 7 + 1)
     # P(L >= x) ~ x^-(a-1) with a=1.5  =>  L = 2 * u^-2, clipped
-    n_turns = F.least(
-        F.lit(4096),
-        F.greatest(F.lit(2), (F.lit(2.0) / F.pow(F.greatest(u_len, F.lit(1e-9)), 2.0)).cast("int")),
-    )
+    # clamp in double BEFORE the int cast: ANSI mode rejects overflow
+    raw_len = F.least(F.lit(4096.0), F.lit(2.0) / F.pow(F.greatest(u_len, F.lit(1e-9)), 2.0))
+    n_turns = F.greatest(F.lit(2), raw_len.cast("int"))
     u_start = _uniform(F.col("id"), salt=seed * 7 + 2)
     conv_start = F.to_timestamp(F.lit(EPOCH_START)) + F.make_interval(
         secs=F.round(u_start * (window_days * 86400.0), 0)

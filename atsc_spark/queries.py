@@ -297,6 +297,56 @@ SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM r WHERE rnk 
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (fixed column set)."""
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+SQL_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Hypertable-style rollup: (event_type, day), (event_type), ()."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+def q_distinct_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------
 # relational coverage: TPC-H-style aggregation + joins
 # --------------------------------------------------------------------
@@ -541,6 +591,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_segments": q_session_segments,
     "asof_prev_value": q_asof_prev_value,
     "topk_per_group": q_topk_per_group,
+    "pivot_counts": q_pivot_counts,
+    "grouping_sets": q_grouping_sets,
+    "distinct_users": q_distinct_users,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "dedup_exact": q_dedup_exact,
@@ -570,6 +623,9 @@ ORACLES: dict[str, str] = {
     "session_segments": SQL_SESSION_SEGMENTS,
     "asof_prev_value": SQL_ASOF_PREV,
     "topk_per_group": SQL_TOPK,
+    "pivot_counts": SQL_PIVOT,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "distinct_users": SQL_DISTINCT_USERS,
     "pricing_summary": SQL_PRICING,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "dedup_exact": SQL_DEDUP_EXACT,
