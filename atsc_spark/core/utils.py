@@ -47,8 +47,16 @@ def next_size(n: int) -> int:
 
 
 def round_half_away(x):
-    """Rust ``f64::round`` — round half away from zero (not banker's)."""
-    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+    """Rust ``f64::round`` — round half away from zero (not banker's).
+
+    For |x| >= 2^52 the value is already integral and the naive
+    ``floor(|x| + 0.5)`` would be off by one ulp (x + 0.5 is not
+    representable there), so those pass through unchanged.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    big = np.abs(x) >= 2.0**52
+    rounded = np.copysign(np.floor(np.abs(x) + 0.5), x)
+    return np.where(big, x, rounded)
 
 
 def round_f64(x: float, decimals: int) -> float:

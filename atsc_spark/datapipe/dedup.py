@@ -89,7 +89,7 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes, shingle_k)
-    banded = sigs.select(
+    banded_plan = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -108,6 +108,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    # Spark does not share a common subplan across the two sides of a
+    # self-join, so the (expensive) signature computation would run
+    # once per side plus once for the join build.  Materialize it once;
+    # at production scale this is "write the signatures table, then
+    # self-join it".
+    banded = banded_plan.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -549,6 +549,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_atsc_gapfilled_roundtrip(spark, sf_dir):
+    """Full chain: derive 1m series -> LOCF gap-fill to a regular grid
+    -> ATSC frames at error=0 -> decode.  The oracle is the plain SQL
+    LOCF grid — so rollup, gap-fill, VSRI-style time segments, frame
+    fitting AND decoding are all exercised in one value-hash-checked
+    query."""
+    filled = gap_fill(_rounded_series(spark, sf_dir), interval_s=60, strategy="locf")
+    series = filled.select("conv_id", "metric", "bucket_ts", "value").filter(
+        F.col("value").isNotNull()
+    )
+    frames = fit_frames(series, max_error=0.0)
+    decoded = decode_frames(frames)
+    return decoded.select(
+        F.col("conv_id").alias("event_type"), "bucket_ts", "value"
+    )
+
+
+SQL_ATSC_GAPFILLED = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bt) AS t0, max(bt) AS t1 FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM bounds
+), filled AS (
+  SELECT g.event_type, g.bucket_ts,
+         last_value(b.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bt = g.bucket_ts
+)
+SELECT event_type, bucket_ts, value FROM filled WHERE value IS NOT NULL
+"""
+
+
 def q_atsc_frames_report(spark, sf_dir):
     """Compression report at the default 3% error (rows-only check —
     the compressed sizes have no SQL equivalent)."""
@@ -605,6 +642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "embedding_near_dups": q_embedding_near_dups,
     "atsc_roundtrip": q_atsc_roundtrip,
+    "atsc_gapfilled_roundtrip": q_atsc_gapfilled_roundtrip,
     # rows-only (non-SQL-expressible)
     "atsc_frames_report": q_atsc_frames_report,
     "minhash_lsh": q_minhash_lsh,
@@ -637,4 +675,5 @@ ORACLES: dict[str, str] = {
     "embedding_norms": SQL_EMB_NORMS,
     "embedding_near_dups": SQL_EMB_NEAR_DUPS,
     "atsc_roundtrip": SQL_ATSC_ROUNDTRIP,
+    "atsc_gapfilled_roundtrip": SQL_ATSC_GAPFILLED,
 }

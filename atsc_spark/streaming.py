@@ -53,6 +53,69 @@ def derive_series_stream(
     )
 
 
+def running_conv_state(
+    transcripts_stream: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-conversation running profile maintained across micro-batches —
+    the streaming analogue of VSRI's append-only per-series state
+    (`vsri/src/lib.rs:249-284`): total turns, total text chars, last
+    turn timestamp, and segment count (a new segment opens when the gap
+    to the previous turn exceeds 10x the running mean gap).
+
+    Output (one row per conv per batch):
+      (conv_id, n_turns, n_chars, n_segments, last_ts)
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, n_turns long, n_chars long, n_segments long, last_ts timestamp"
+    )
+    state_schema = "n_turns long, n_chars long, n_segments long, last_epoch double, mean_gap double"
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        if state.exists:
+            n_turns, n_chars, n_segments, last_epoch, mean_gap = state.get
+        else:
+            n_turns, n_chars, n_segments, last_epoch, mean_gap = 0, 0, 0, None, 20.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            epochs = pdf["ts"].astype("int64").to_numpy() / 1e9
+            lens = pdf["text"].str.len().to_numpy()
+            for e, ln in zip(epochs, lens):
+                if last_epoch is None:
+                    n_segments += 1
+                else:
+                    gap = e - last_epoch
+                    if gap > 10.0 * mean_gap:
+                        n_segments += 1
+                    mean_gap = 0.9 * mean_gap + 0.1 * max(gap, 1.0)
+                last_epoch = float(e)
+                n_turns += 1
+                n_chars += int(ln)
+        state.update((n_turns, n_chars, n_segments, last_epoch, mean_gap))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "n_segments": [n_segments],
+                "last_ts": [pd.to_datetime(last_epoch, unit="s")],
+            }
+        )
+
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_series_to_frames(
     spark: SparkSession,
     input_path: str,

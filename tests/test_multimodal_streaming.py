@@ -38,6 +38,53 @@ def test_media_repartition_runs(spark):
     assert out.rdd.getNumPartitions() >= 2
 
 
+def test_running_conv_state_stateful(spark, tmp_path):
+    """applyInPandasWithState across MULTIPLE micro-batches: write two
+    input files, trigger with maxFilesPerTrigger=1, and assert the
+    final per-conv state accumulates across batches."""
+    from atsc_spark.streaming import running_conv_state
+
+    inp = str(tmp_path / "state_in")
+    t = transcripts(spark, n_convs=10, window_days=1).cache()
+    half_a = t.filter("turn_idx % 2 = 0")
+    half_b = t.filter("turn_idx % 2 = 1")
+    half_a.coalesce(1).write.mode("overwrite").parquet(f"{inp}/a")
+    half_b.coalesce(1).write.mode("overwrite").parquet(f"{inp}/b")
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{inp}/*")
+    )
+    q = (
+        running_conv_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n_turns, max(n_chars) AS n_chars"
+        " FROM conv_state GROUP BY conv_id"
+    ).toPandas().set_index("conv_id")
+    expected = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"), F.sum(F.length("text")).alias("n_chars"))
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(got) == len(expected)
+    for conv in expected.index:
+        assert got.loc[conv, "n_turns"] == expected.loc[conv, "n_turns"]
+        assert got.loc[conv, "n_chars"] == expected.loc[conv, "n_chars"]
+    # multiple batches actually happened (state carried across them)
+    batches = spark.sql("SELECT count(*) c FROM conv_state").collect()[0].c
+    assert batches > len(expected)
+
+
 def test_streaming_series_to_frames(spark, tmp_path):
     from atsc_spark.streaming import stream_series_to_frames
 
