@@ -80,6 +80,38 @@ def test_retention_lossy_tier(spark, series, tmp_path):
     assert mape <= 0.01 + 1e-9
 
 
+def test_retention_rollup_only_tier(spark, series, tmp_path):
+    """Oldest tier: raw days replaced by 1h rollups only."""
+    from atsc_spark.rollup import rollup
+
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store3"),
+        TierPolicy(t0_days=0, t1_days=0, t2_days=0, t3_days=0),
+    )
+    store.write_raw(series)
+    moves = store.retention_pass(date(2030, 1, 1))
+    assert moves and all(t == "rollup" for _, t in moves)
+    r = store.read_rollup()
+    assert r is not None and r.count() > 0
+    # rollup content equals aggregating the original series at 1h
+    expect = rollup(series, "1 hour").toPandas().sort_values(
+        ["conv_id", "metric", "bucket_ts"]
+    ).reset_index(drop=True)
+    got = (
+        r.select(expect.columns.tolist())
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # raw is gone
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        store.read_series()
+
+
 def test_checkpoint_resume(spark, series, tmp_path):
     log = CheckpointLog(spark, str(tmp_path / "lineage"))
     out_path = str(tmp_path / "out")
