@@ -215,16 +215,20 @@ class PolynomialFrame:
 
     @classmethod
     def from_bytes(cls, payload: bytes) -> "PolynomialFrame":
+        from .bincodec import parse_ivarints
+
         r = Reader(payload)
         ptype = r.enum()
         bitdepth = r.enum()
         n = r.vec_len()
         if bitdepth == U8:
-            values = np.asarray([r.u8() for _ in range(n)], dtype=np.float64)
+            values = np.frombuffer(r.raw(n), dtype=np.uint8).astype(np.float64)
         elif bitdepth in (I16, I32):
-            values = np.asarray([r.ivarint() for _ in range(n)], dtype=np.float64)
+            ints, pos = parse_ivarints(payload, n, r.pos)
+            values = ints.astype(np.float64)
+            r.pos = pos
         else:
-            values = np.asarray([r.f64() for _ in range(n)], dtype=np.float64)
+            values = np.frombuffer(r.raw(8 * n), dtype="<f8").astype(np.float64)
         vmin = r.f64()
         vmax = r.f64()
         step = r.u8()

@@ -16,11 +16,15 @@ from __future__ import annotations
 
 import numpy as np
 
+import struct
+
 from .bincodec import (
     Reader,
     Writer,
     ivarints_vec,
     ivarints_vec_with_lens as _ivarints_with_lens,
+    parse_ivarints,
+    parse_uvarints,
     uvarints_vec_with_lens as _uvarints_with_lens,
 )
 from .stats import F64, I16, I32, U8
@@ -137,19 +141,65 @@ def rle_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
 
 
 def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
-    """Scatter run-start values then forward-fill (`rle.rs:204-236`)."""
+    """Scatter run-start values then forward-fill (`rle.rs:204-236`).
+
+    Forward-fill is vectorized: scatter each run's value at its start
+    index, then propagate with a running "last seen" gather.
+    """
     r = Reader(payload)
     cid = r.u8()
     assert cid == RLE_ID, cid
     bitdepth = r.enum()
     n_values = r.vec_len()
+    pos = r.pos
     starts: list[int] = []
     vals: list[float] = []
+    unpack_f64 = struct.unpack_from
     for _ in range(n_values):
-        value = _read_scalar(r, bitdepth)
-        n_idx = r.vec_len()
-        for _ in range(n_idx):
-            starts.append(r.uvarint())
+        if bitdepth == U8:
+            value = float(payload[pos])
+            pos += 1
+        elif bitdepth in (I16, I32):
+            tag = payload[pos]
+            pos += 1
+            if tag < 251:
+                u = tag
+            elif tag == 0xFB:
+                u = payload[pos] | (payload[pos + 1] << 8)
+                pos += 2
+            else:
+                u = int.from_bytes(payload[pos : pos + 4], "little")
+                pos += 4
+            value = float((u >> 1) ^ -(u & 1))
+        else:
+            value = unpack_f64("<d", payload, pos)[0]
+            pos += 8
+        # count varint then that many index varints, inlined
+        tag = payload[pos]
+        pos += 1
+        if tag < 251:
+            cnt = tag
+        elif tag == 0xFB:
+            cnt = payload[pos] | (payload[pos + 1] << 8)
+            pos += 2
+        else:
+            cnt = int.from_bytes(payload[pos : pos + 4], "little")
+            pos += 4
+        for _i in range(cnt):
+            tag = payload[pos]
+            pos += 1
+            if tag < 251:
+                ix = tag
+            elif tag == 0xFB:
+                ix = payload[pos] | (payload[pos + 1] << 8)
+                pos += 2
+            elif tag == 0xFC:
+                ix = int.from_bytes(payload[pos : pos + 4], "little")
+                pos += 4
+            else:
+                ix = int.from_bytes(payload[pos : pos + 8], "little")
+                pos += 8
+            starts.append(ix)
             vals.append(value)
     out = np.zeros(sample_count, dtype=np.float64)
     if not starts:
@@ -158,9 +208,11 @@ def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
     v = np.asarray(vals, dtype=np.float64)
     order = np.argsort(s, kind="stable")
     s, v = s[order], v[order]
-    bounds = np.append(s[1:], sample_count)
-    for start, end, value in zip(s, bounds, v):
-        out[start:end] = value
+    # vectorized fill: for every position, the value of the last run
+    # start at-or-before it
+    run_of_pos = np.searchsorted(s, np.arange(sample_count), side="right") - 1
+    mask = run_of_pos >= 0
+    out[mask] = v[run_of_pos[mask]]
     return out
 
 
@@ -181,4 +233,5 @@ def noop_decompress(sample_count: int, payload: bytes) -> np.ndarray:
     cid = r.u8()
     assert cid == NOOP_ID, cid
     n = r.vec_len()
-    return np.asarray([r.ivarint() for _ in range(n)], dtype=np.float64)
+    ints, _ = parse_ivarints(payload, n, r.pos)
+    return ints.astype(np.float64)
