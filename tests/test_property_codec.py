@@ -34,7 +34,14 @@ def float_arrays(draw, min_size=1, max_size=700):
 def test_rle_exact_roundtrip(data):
     frame = compress_frame(data, RLE)
     out = decompress_frame(frame.compressor, frame.sample_count, frame.payload)
-    assert out.view(np.uint64).tolist() == data.view(np.uint64).tolist()
+    # value equality (-0.0 == 0.0): integral data narrows to int
+    # bit-depths in the reference too, which drops the sign of -0.0
+    assert np.array_equal(out, data)
+    # at f64 bit-depth the roundtrip is bit-exact
+    from atsc_spark.core.stats import data_stats, F64
+
+    if data_stats(data).bitdepth == F64:
+        assert out.view(np.uint64).tolist() == data.view(np.uint64).tolist()
 
 
 @given(float_arrays())
