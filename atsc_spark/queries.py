@@ -297,6 +297,38 @@ SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM r WHERE rnk 
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join: every purchase/error event matched to the user's
+    most recent signup/login-class event at or before it."""
+    from .asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    right = e.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], value_cols=["value", "event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("value_asof").alias("prior_value"),
+        F.col("event_id_asof").alias("prior_event_id"),
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT l.user_id, l.event_id,
+       r.value AS prior_value, r.event_id AS prior_event_id
+FROM (SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type IN ('purchase', 'error')) l
+ASOF LEFT JOIN (SELECT user_id, ts, value, event_id FROM events
+                WHERE event_type IN ('signup', 'click')) r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -627,6 +659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_of_delta": q_delta_of_delta,
     "session_segments": q_session_segments,
     "asof_prev_value": q_asof_prev_value,
+    "asof_join": q_asof_join,
     "topk_per_group": q_topk_per_group,
     "pivot_counts": q_pivot_counts,
     "grouping_sets": q_grouping_sets,
@@ -660,6 +693,7 @@ ORACLES: dict[str, str] = {
     "delta_of_delta": SQL_DELTA_OF_DELTA,
     "session_segments": SQL_SESSION_SEGMENTS,
     "asof_prev_value": SQL_ASOF_PREV,
+    "asof_join": SQL_ASOF_JOIN,
     "topk_per_group": SQL_TOPK,
     "pivot_counts": SQL_PIVOT,
     "grouping_sets": SQL_GROUPING_SETS,
