@@ -87,27 +87,79 @@ def run(
 
     stage("rollup", s_rollup)
 
-    def s_tier0():
-        blocks = fit_lossless(series)
-        blocks.write.mode("overwrite").parquet(f"{store_base}/blocks_all")
-        b = spark.read.parquet(f"{store_base}/blocks_all")
-        agg = b.agg(F.sum("raw_bytes").alias("r"), F.sum("payload_bytes").alias("p")).collect()[0]
-        stats["gorilla_ratio"] = round(agg.r / max(agg.p, 1), 2)
-        return b.count()
+    def per_day_stage(stage_name: str, fit_fn, out_name: str, metric_aggs) -> None:
+        """North-rule mid-tier resume: one lineage row per day
+        partition; a rerun anti-joins completed days and recomputes
+        nothing.  Output appends day-by-day, so a crash mid-stage
+        loses only in-flight days."""
+        t0 = time.time()
+        keyed = series.withColumn("day", F.to_date("bucket_ts"))
+        all_days = keyed.select(F.col("day").cast("string").alias("partition_key")).distinct()
+        todo = log.pending(all_days, stage_name)
+        todo_days = [r.partition_key for r in todo.collect()]
+        if not todo_days:
+            stats[stage_name] = "skipped (checkpoint, per-day)"
+            return
+        attempt = log.attempt_number(stage_name)
+        pending = keyed.filter(F.col("day").cast("string").isin(todo_days)).drop("day")
+        out = fit_fn(pending)
+        out.write.mode("append").partitionBy("day").parquet(f"{store_base}/{out_name}")
+        written = spark.read.parquet(f"{store_base}/{out_name}").filter(
+            F.col("day").cast("string").isin(todo_days)
+        )
+        per_day = {
+            r.k: r.asDict()
+            for r in written.groupBy(F.col("day").cast("string").alias("k"))
+            .agg(*metric_aggs)
+            .collect()
+        }
+        wall = int((time.time() - t0) * 1000)
+        log.record(
+            [
+                {
+                    "stage": stage_name,
+                    "partition_key": d,
+                    "status": "done",
+                    "rows_out": per_day.get(d, {}).get("rows_out", 0),
+                    "bytes_out": per_day.get(d, {}).get("bytes_out", 0),
+                    "max_err": per_day.get(d, {}).get("max_err"),
+                    "wall_ms": wall,
+                    "attempt": attempt,
+                }
+                for d in todo_days
+            ]
+        )
+        stats[stage_name] = round(time.time() - t0, 2)
 
-    stage("tier0", s_tier0)
+    per_day_stage(
+        "tier0",
+        fit_lossless,
+        "blocks_all",
+        [
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum("payload_bytes").alias("bytes_out"),
+            F.lit(None).cast("double").alias("max_err"),
+        ],
+    )
+    b = spark.read.parquet(f"{store_base}/blocks_all")
+    agg = b.agg(F.sum("raw_bytes").alias("r"), F.sum("payload_bytes").alias("p")).collect()[0]
+    stats["gorilla_ratio"] = round(agg.r / max(agg.p, 1), 2)
 
-    def s_frames():
-        frames = fit_frames(series, max_error=max_error)
-        frames.write.mode("overwrite").parquet(f"{store_base}/frames_all")
-        rep = compression_report(spark.read.parquet(f"{store_base}/frames_all")).collect()
-        raw_b = sum(r.raw_bytes for r in rep)
-        comp_b = sum(r.payload_bytes for r in rep)
-        stats["atsc_ratio"] = round(raw_b / max(comp_b, 1), 2)
-        stats["atsc_max_error"] = max((r.max_error or 0.0) for r in rep)
-        return int(sum(r.frames for r in rep))
-
-    stage("frames", s_frames)
+    per_day_stage(
+        "frames",
+        lambda df: fit_frames(df, max_error=max_error),
+        "frames_all",
+        [
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum("payload_bytes").alias("bytes_out"),
+            F.max("error").alias("max_err"),
+        ],
+    )
+    rep = compression_report(spark.read.parquet(f"{store_base}/frames_all")).collect()
+    raw_b = sum(r.raw_bytes for r in rep)
+    comp_b = sum(r.payload_bytes for r in rep)
+    stats["atsc_ratio"] = round(raw_b / max(comp_b, 1), 2)
+    stats["atsc_max_error"] = max((r.max_error or 0.0) for r in rep)
 
     def s_retention():
         moves = store.retention_pass(today or date.today())
