@@ -42,95 +42,174 @@ from .core.frame import (
 FRAME_SCHEMA = (
     "conv_id string, metric string, day date, frame_idx int, "
     "compressor string, compressor_id int, sample_count int, "
-    "segments array<struct<interval_s: long, start_ts: long, n: int>>, "
+    "seg_interval array<long>, seg_start array<long>, seg_n array<int>, "
     "payload binary, error double, payload_bytes int, raw_bytes long"
 )
 
 DECODED_SCHEMA = "conv_id string, metric string, epoch_s long, value double"
 
 
-def time_segments(ts: np.ndarray) -> list[dict]:
+def time_segment_arrays(ts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Split a sorted int64 epoch-seconds array into constant-interval
     segments (the VSRI model, `vsri/src/lib.rs:101-108`).
 
     Run-based splitting: a new segment starts wherever the inter-sample
     interval changes.  Every timestamp is exactly recoverable as
-    ``start_ts + i * interval_s``.
+    ``start_ts + i * interval_s``.  Returns (interval_s, start_ts, n)
+    as parallel primitive arrays — fully vectorized, no per-segment
+    Python objects.
     """
     n = len(ts)
     if n == 0:
-        return []
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=np.int32)
     if n == 1:
-        return [{"interval_s": 0, "start_ts": int(ts[0]), "n": 1}]
+        return (
+            np.zeros(1, dtype=np.int64),
+            np.asarray([ts[0]], dtype=np.int64),
+            np.ones(1, dtype=np.int32),
+        )
     d = np.diff(ts)
     change = np.flatnonzero(d[1:] != d[:-1]) + 1
     starts = np.concatenate([[0], change + 1])
     ends = np.concatenate([starts[1:], [n]])
+    counts = (ends - starts).astype(np.int32)
+    # a trailing 1-point segment can start at the last sample, where no
+    # forward diff exists — clip the gather; its interval is 0 anyway
+    safe = np.minimum(starts, len(d) - 1)
+    intervals = np.where(counts > 1, d[safe], 0).astype(np.int64)
+    return intervals, ts[starts].astype(np.int64), counts
+
+
+def time_segments(ts: np.ndarray) -> list[dict]:
+    """Dict view of :func:`time_segment_arrays` (test/debug helper)."""
+    m, y0, n = time_segment_arrays(np.asarray(ts, dtype=np.int64))
     return [
-        {
-            "interval_s": int(d[s]) if e - s > 1 else 0,
-            "start_ts": int(ts[s]),
-            "n": int(e - s),
-        }
-        for s, e in zip(starts, ends)
+        {"interval_s": int(a), "start_ts": int(b), "n": int(c)}
+        for a, b, c in zip(m, y0, n)
     ]
 
 
-def segments_to_ts(segments: Iterable) -> np.ndarray:
-    """Inverse of :func:`time_segments` (`vsri/src/lib.rs:352-362`)."""
-    parts = [
-        np.int64(seg["start_ts"]) + np.int64(seg["interval_s"]) * np.arange(seg["n"], dtype=np.int64)
-        for seg in segments
-    ]
-    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+def segments_to_ts(seg_interval, seg_start, seg_n) -> np.ndarray:
+    """Inverse of :func:`time_segment_arrays`
+    (`vsri/src/lib.rs:352-362`), vectorized: one repeat + one cumsum
+    over all segments instead of per-segment arange."""
+    m = np.asarray(seg_interval, dtype=np.int64)
+    y0 = np.asarray(seg_start, dtype=np.int64)
+    n = np.asarray(seg_n, dtype=np.int64)
+    total = int(n.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    # step value at each position: the segment interval, except at
+    # segment starts where we jump to the absolute start_ts
+    steps = np.repeat(m, n)
+    firsts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    prev_end = y0[:-1] + m[:-1] * (n[:-1] - 1) if len(y0) > 1 else np.empty(0, dtype=np.int64)
+    steps[firsts] = y0 - np.concatenate([[0], prev_end])
+    return np.cumsum(steps)
 
 
-def _make_fit_fn(compressor_id: int, max_error: float, speed: int):
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_ts")
-        values = pdf["value"].to_numpy(dtype=np.float64)
-        ts = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
-        # NaN/inf cleaning drops the sample AND its timestamp (the
-        # reference drops values pre-plan, `optimizer/mod.rs:64-71`;
-        # we keep ts aligned since our frames carry a time index).
-        keep = np.isfinite(values)
+_FRAME_COLS = [
+    "conv_id", "metric", "day", "frame_idx", "compressor", "compressor_id",
+    "sample_count", "seg_interval", "seg_start", "seg_n", "payload", "error",
+    "payload_bytes", "raw_bytes",
+]
+
+
+def _fit_one_group(
+    conv_id, metric, day, values: np.ndarray, ts: np.ndarray,
+    compressor_id: int, max_error: float, speed: int, rows: list,
+) -> None:
+    """Fit one (conv_id, metric, day) series; append frame row dicts.
+
+    NaN/inf cleaning drops the sample AND its timestamp (the reference
+    drops values pre-plan, `optimizer/mod.rs:64-71`; we keep ts aligned
+    since our frames carry a time index)."""
+    keep = np.isfinite(values)
+    if not keep.all():
         values, ts = values[keep], ts[keep]
-        conv_id = pdf["conv_id"].iloc[0]
-        metric = pdf["metric"].iloc[0]
-        day = pdf["day"].iloc[0]
-
-        rows = []
-        offset = 0
-        for frame_idx, size in enumerate(get_chunk_sizes(len(values))):
-            chunk = values[offset : offset + size]
-            res = compress_frame(chunk, compressor_id, max_error, speed)
-            rows.append(
-                {
-                    "conv_id": conv_id,
-                    "metric": metric,
-                    "day": day,
-                    "frame_idx": frame_idx,
-                    "compressor": COMPRESSOR_NAMES[res.compressor],
-                    "compressor_id": res.compressor,
-                    "sample_count": res.sample_count,
-                    "segments": time_segments(ts[offset : offset + size]),
-                    "payload": res.payload,
-                    "error": float(res.error) if np.isfinite(res.error) else None,
-                    "payload_bytes": len(res.payload),
-                    "raw_bytes": int(size) * 8,
-                }
-            )
-            offset += size
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id", "metric", "day", "frame_idx", "compressor",
-                "compressor_id", "sample_count", "segments", "payload",
-                "error", "payload_bytes", "raw_bytes",
-            ],
+    offset = 0
+    for frame_idx, size in enumerate(get_chunk_sizes(len(values))):
+        res = compress_frame(values[offset : offset + size], compressor_id, max_error, speed)
+        m, y0, cnt = time_segment_arrays(ts[offset : offset + size])
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "metric": metric,
+                "day": day,
+                "frame_idx": frame_idx,
+                "compressor": COMPRESSOR_NAMES[res.compressor],
+                "compressor_id": res.compressor,
+                "sample_count": res.sample_count,
+                "seg_interval": m,
+                "seg_start": y0,
+                "seg_n": cnt,
+                "payload": res.payload,
+                "error": float(res.error) if np.isfinite(res.error) else None,
+                "payload_bytes": len(res.payload),
+                "raw_bytes": int(size) * 8,
+            }
         )
+        offset += size
 
-    return fit
+
+def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
+    """mapInPandas fit: split each Arrow batch into groups with NumPy
+    boundary detection instead of materializing one pandas DataFrame
+    per group (applyInPandas costs ~5-10 ms/group of pure overhead —
+    decisive when a day of transcripts means 10^4..10^6 small groups).
+
+    Rows arrive hash-partitioned by the group key and sorted within
+    partitions, so groups are contiguous; a group that spans two Arrow
+    batches is carried over in a small buffer.
+    """
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame, is_last: bool):
+            nonlocal carry
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                return None
+            conv = pdf["conv_id"].to_numpy()
+            met = pdf["metric"].to_numpy()
+            day = pdf["day"].to_numpy()
+            # group boundary where any key changes
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (conv[1:] != conv[:-1]) | (met[1:] != met[:-1]) | (day[1:] != day[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            if not is_last:
+                # hold the final (possibly incomplete) group for the next batch
+                carry = pdf.iloc[starts[-1] :]
+                starts, ends = starts[:-1], ends[:-1]
+                if len(starts) == 0:
+                    return None
+            values_all = pdf["value"].to_numpy(dtype=np.float64)
+            ts_all = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
+            rows: list = []
+            for s, e in zip(starts, ends):
+                _fit_one_group(
+                    conv[s], met[s], day[s], values_all[s:e], ts_all[s:e],
+                    compressor_id, max_error, speed, rows,
+                )
+            return pd.DataFrame(rows, columns=_FRAME_COLS)
+
+        for pdf in batches:
+            out = flush(pdf, is_last=False)
+            if out is not None and len(out):
+                yield out
+        if carry is not None:
+            final, carry = carry, None
+            out = flush(final, is_last=True)
+            if out is not None and len(out):
+                yield out
+
+    return run
 
 
 def fit_frames(
@@ -155,37 +234,41 @@ def fit_frames(
     second shuffle).
     """
     comp_id = COMPRESSOR_IDS[compressor] if isinstance(compressor, str) else compressor
-    fit = _make_fit_fn(comp_id, max_error, speed)
     with_day = series.withColumn("day", F.to_date("bucket_ts"))
     if num_tasks is None:
         num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
-    partitioned = with_day.repartition(num_tasks, "conv_id", "metric", "day")
-    return partitioned.groupBy("conv_id", "metric", "day").applyInPandas(fit, FRAME_SCHEMA)
+    partitioned = with_day.repartition(
+        num_tasks, "conv_id", "metric", "day"
+    ).sortWithinPartitions("conv_id", "metric", "day", "bucket_ts")
+    fit = _make_fit_map_fn(comp_id, max_error, speed)
+    return partitioned.select(
+        "conv_id", "metric", "day", "bucket_ts", "value"
+    ).mapInPandas(fit, FRAME_SCHEMA)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        outs = []
+        conv_parts, met_parts, ts_parts, val_parts = [], [], [], []
         for row in pdf.itertuples(index=False):
             values = decompress_frame(
                 int(row.compressor_id), int(row.sample_count), bytes(row.payload)
             )
-            ts = segments_to_ts(row.segments)
+            ts = segments_to_ts(row.seg_interval, row.seg_start, row.seg_n)
             m = min(len(values), len(ts))
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": row.conv_id,
-                        "metric": row.metric,
-                        "epoch_s": ts[:m],
-                        "value": values[:m],
-                    }
-                )
-            )
-        yield (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame(columns=["conv_id", "metric", "epoch_s", "value"])
+            conv_parts.append(np.repeat(row.conv_id, m))
+            met_parts.append(np.repeat(row.metric, m))
+            ts_parts.append(ts[:m])
+            val_parts.append(values[:m])
+        if not conv_parts:
+            yield pd.DataFrame(columns=["conv_id", "metric", "epoch_s", "value"])
+            continue
+        yield pd.DataFrame(
+            {
+                "conv_id": np.concatenate(conv_parts),
+                "metric": np.concatenate(met_parts),
+                "epoch_s": np.concatenate(ts_parts),
+                "value": np.concatenate(val_parts),
+            }
         )
 
 
@@ -197,7 +280,8 @@ def decode_frames(frames: DataFrame) -> DataFrame:
     (`data.rs:104-109`, `csv-compressor/src/metric.rs:88-98`).
     """
     decoded = frames.select(
-        "conv_id", "metric", "compressor_id", "sample_count", "segments", "payload"
+        "conv_id", "metric", "compressor_id", "sample_count",
+        "seg_interval", "seg_start", "seg_n", "payload",
     ).mapInPandas(_decode_batches, DECODED_SCHEMA)
     return decoded.select(
         "conv_id",

@@ -74,13 +74,18 @@ def test_per_turn_text_invariant(small_transcripts, tmp_path):
 
 
 def test_time_segments_roundtrip():
+    from atsc_spark.frames import time_segment_arrays
+
     ts = np.array([0, 20, 40, 60, 200, 220, 240, 500], dtype=np.int64)
-    segs = time_segments(ts)
-    assert segments_to_ts(segs).tolist() == ts.tolist()
+    m, y0, n = time_segment_arrays(ts)
+    assert segments_to_ts(m, y0, n).tolist() == ts.tolist()
     # constant cadence -> exactly one segment
     regular = np.arange(0, 86400, 20, dtype=np.int64)
-    segs = time_segments(regular)
-    assert len(segs) == 1 and segs[0]["n"] == len(regular)
+    m, y0, n = time_segment_arrays(regular)
+    assert len(m) == 1 and n[0] == len(regular)
+    assert segments_to_ts(m, y0, n).tolist() == regular.tolist()
+    # dict view still matches
+    assert time_segments(ts)[0] == {"interval_s": 20, "start_ts": 0, "n": 4}
 
 
 def test_series_frames_roundtrip(spark, small_transcripts):
