@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .bincodec import Reader, Writer
-from .fft import FFTFrame, fft_compress, fft_decompress
+from .fft import fft_compress, fft_decompress
 from .polynomial import (
     IDW_ID,
     POLYNOMIAL_ID,

@@ -32,7 +32,7 @@ import numpy as np
 
 from .bincodec import Reader, Writer, ivarints_vec
 from .errors import calculate_error
-from .stats import F64, I16, I32, U8
+from .stats import I16, I32, U8
 from .utils import round_and_limit, round_f64, saturating_cast
 
 POLYNOMIAL_ID = 0

@@ -24,10 +24,9 @@ from .bincodec import (
     ivarints_vec,
     ivarints_vec_with_lens as _ivarints_with_lens,
     parse_ivarints,
-    parse_uvarints,
     uvarints_vec_with_lens as _uvarints_with_lens,
 )
-from .stats import F64, I16, I32, U8
+from .stats import I16, I32, U8
 from .utils import round_half_away, saturating_cast
 
 CONSTANT_ID = 30

@@ -30,6 +30,21 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+#: punctuation — the GPT-2-style pre-tokenization shape, POSIX-safe so
+#: Spark (Java regex) and DuckDB (RE2) agree.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """Approximate subword-ish token count: number of BPE-ish
+    pre-token matches per document (JVM-side regexp_count)."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{BPE_ISH_PATTERN}')").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """Length/punctuation/stopword-style quality features.
 

@@ -22,7 +22,7 @@ vectorized from gap detection rather than streaming appends
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .core.frame import (
-    AUTO,
     COMPRESSOR_IDS,
     COMPRESSOR_NAMES,
     compress_frame,

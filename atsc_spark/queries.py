@@ -469,6 +469,18 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM doc
 """
 
 
+def q_bpe_token_count(spark, sf_dir):
+    return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_text_quality(spark, sf_dir):
     return textstats.text_quality(_t(spark, sf_dir, "documents"))
 
@@ -668,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -702,6 +715,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": SQL_REVENUE_NATION,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_count": SQL_TOKEN_COUNT,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_FINGERPRINT,

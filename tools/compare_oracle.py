@@ -14,7 +14,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-import numpy as np
 import pandas as pd
 
 TABLES = [
