@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_CONVS = int(os.environ.get("SCALING_N_CONVS", "3000"))
+N_CONVS = int(os.environ.get("SCALING_N_CONVS", "60000"))
 
 
 def single(cores: int) -> dict:
