@@ -379,6 +379,115 @@ FROM events GROUP BY event_type
 """
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per event_type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per event_type: each observation holds
+    until the next one (the continuous-aggregate TWA semantics)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    dt = F.lead(sec).over(w) - sec
+    seg = e.select("event_type", F.col("value").alias("v"), dt.alias("dt")).filter(
+        F.col("dt").isNotNull()
+    )
+    return seg.groupBy("event_type").agg(
+        F.round(F.expr("try_divide(sum(v * dt), sum(dt))"), 4).alias("twa"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+SQL_TWA = """
+WITH seg AS (
+  SELECT event_type, value AS v,
+         epoch(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) - epoch(ts) AS dt
+  FROM events
+)
+SELECT event_type, round(sum(v * dt) / sum(dt), 4) AS twa, count(*) AS n_segments
+FROM seg WHERE dt IS NOT NULL GROUP BY event_type
+"""
+
+
+def q_moving_avg(spark, sf_dir):
+    """Trailing 10-minute moving aggregate per event_type (RANGE
+    frame over event time)."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-600, 0)
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg_10m"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT event_type, event_id,
+       round(avg(value) OVER w, 4) AS mavg_10m,
+       count(*) OVER w AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: revenue per order for a market segment with
+    date predicates (exercises pushdown + join order)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+"""
+
+
 # --------------------------------------------------------------------
 # relational coverage: TPC-H-style aggregation + joins
 # --------------------------------------------------------------------
@@ -676,6 +785,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_counts": q_pivot_counts,
     "grouping_sets": q_grouping_sets,
     "distinct_users": q_distinct_users,
+    "percentiles": q_percentiles,
+    "time_weighted_avg": q_time_weighted_avg,
+    "moving_avg": q_moving_avg,
+    "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "dedup_exact": q_dedup_exact,
@@ -711,6 +824,10 @@ ORACLES: dict[str, str] = {
     "pivot_counts": SQL_PIVOT,
     "grouping_sets": SQL_GROUPING_SETS,
     "distinct_users": SQL_DISTINCT_USERS,
+    "percentiles": SQL_PERCENTILES,
+    "time_weighted_avg": SQL_TWA,
+    "moving_avg": SQL_MOVING_AVG,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "dedup_exact": SQL_DEDUP_EXACT,
