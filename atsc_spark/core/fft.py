@@ -163,21 +163,16 @@ class FFTFrame:
         (`fft.rs:119-130`): id, Vec<FrequencyPoint>, max f32, min f32.
         The error field is deliberately not persisted.
 
-        Calibration note: the reference's golden byte vector
-        (`fft.rs:553-558`) shows bincode 2.0.0-rc.3 emitting the u16
-        position 0 as two bytes ``[0, 0]`` while 4 is the single byte
-        ``[4]`` (all other integer encodings in the goldens follow the
-        standard varint rules).  We reproduce that observed behaviour
-        for byte parity.
+        Positions are standard bincode varints of a u16; matching the
+        reference's ``pos: u16`` field (`fft.rs:36`), positions are
+        truncated with ``pos & 0xFFFF`` exactly like Rust's ``as u16``
+        cast would at the (half-spectrum) 131072-sample frame edge.
         """
         w = Writer()
         w.u8(FFT_ID)
         w.vec_len(len(self.freqs))
         for pos, re, im in self.freqs:
-            if pos == 0:
-                w.raw(b"\x00\x00")
-            else:
-                w.uvarint(pos)
+            w.uvarint(pos & 0xFFFF)
             w.f32(float(re))
             w.f32(float(im))
         w.f32(float(self.max))
@@ -193,8 +188,6 @@ class FFTFrame:
         freqs = []
         for _ in range(n):
             pos = r.uvarint()
-            if pos == 0:
-                r.u8()  # second byte of the two-byte zero (see to_bytes)
             re = np.float32(r.f32())
             im = np.float32(r.f32())
             freqs.append((pos, re, im))

@@ -5,26 +5,30 @@ Algorithms follow the Gorilla paper (Pelkonen et al., VLDB'15 —
 which the reference's paper cites for its lossless roadmap
 (`/root/reference/paper/`, README "Roadmap: Lossless compression").
 The reference itself ships no lossless tier; this module supplies the
-one the north rule requires.
+one the north rule requires, so the byte layout is ours to choose.
 
-Implementation notes:
-- Encoding is **vectorized**: all per-element fields (delta-of-delta
-  bucket, XOR leading zeros / meaningful length) are computed with
-  NumPy array ops; the variable-length bitstream is assembled by one
-  boolean scatter + ``np.packbits`` — no per-element Python in the
-  encode path.
-- The XOR scheme always emits an explicit 5-bit leading-zero count and
-  6-bit meaningful-bit length per non-zero XOR ('11' control in the
-  paper). The paper's '10' previous-window reuse is intentionally
-  omitted: it introduces a sequential dependency that defeats
-  vectorization, and costs at most 11 bits per changed value —
-  measured ratios on monitoring-style series stay within ~10% of the
-  reference implementation's.
-- Decoding walks the bitstream with NumPy-assisted field extraction;
-  it is exact (bit-for-bit values, exact timestamps).
+Layout: structure-of-arrays, not the paper's interleaved bitstream.
+The paper interleaves control bits, (lz, mlen) headers and meaningful
+bits per value, which forces a sequential boundary scan on decode (you
+cannot know where record *i+1* starts without parsing record *i*).  We
+store three separately-packed sections instead —
 
-Timestamp buckets (paper §4.1.1): dod 0 -> '0'; [-63,64] -> '10'+7b;
-[-255,256] -> '110'+9b; [-2047,2048] -> '1110'+12b; else '1111'+64b.
+- a 1-bit-per-value control stream (repeat / changed),
+- a fixed-width header stream (11-bit ``lz:5 | mlen-1:6`` per changed
+  value; 2-bit delta-of-delta bucket tags on the timestamp side),
+- one concatenated meaningful-bits stream whose per-record offsets are
+  a ``cumsum`` of the header lengths —
+
+so BOTH encode and decode are pure NumPy: fixed-width sections unpack
+with a reshape, the ragged section with one vectorized gather+packbits,
+and the sequential recurrences collapse to prefix scans
+(``np.bitwise_xor.accumulate`` for XOR deltas — XOR is associative —
+and ``np.cumsum`` twice for delta-of-delta).  Per-value cost is
+identical to the paper's scheme minus one control bit per changed
+value; only the section framing (a few fixed bytes per block) differs.
+
+Timestamp buckets (paper §4.1.1, collapsed to 4 tags so the tag stream
+is fixed 2-bit): dod 0 | [-63,64] 7b | [-2047,2048] 12b | raw 64b.
 """
 
 from __future__ import annotations
@@ -33,52 +37,101 @@ import struct
 
 import numpy as np
 
-_MAGIC = b"GORA"
+_MAGIC = b"GORB"
+
+
+# ------------------------------------------------------- bit packing
 
 
 def _pack_varbits(chunks: np.ndarray, lengths: np.ndarray) -> bytes:
     """Pack per-element (value, nbits) pairs MSB-first into bytes.
 
     chunks: uint64 values (only the low `lengths` bits are used);
-    lengths: uint8/int array of bit counts (0..64).
-    Fully vectorized: builds an (n, 64) bit matrix, selects the ragged
-    suffixes with a mask, and packbits the flattened selection.
+    lengths: int array of bit counts (0..64). Left-aligns each field at
+    the MSB, explodes to a bit matrix with one C-level unpackbits, then
+    ragged-selects the real prefixes. No per-bit uint64 shifting.
     """
     n = len(chunks)
     if n == 0:
         return b""
-    maxb = 64
-    shifts = np.arange(maxb - 1, -1, -1, dtype=np.uint64)
-    bits = (chunks[:, None] >> shifts[None, :]) & np.uint64(1)
-    mask = (np.arange(maxb)[None, :] >= (maxb - lengths[:, None]))
-    flat = bits[mask].astype(np.uint8)
-    return np.packbits(flat).tobytes()
+    lens = np.asarray(lengths, dtype=np.uint64)
+    left = np.asarray(chunks, dtype=np.uint64) << (np.uint64(64) - lens)
+    bitmat = np.unpackbits(left.astype(">u8").view(np.uint8).reshape(n, 8), axis=1)
+    mask = np.arange(64, dtype=np.uint64)[None, :] < lens[:, None]
+    return np.packbits(bitmat[mask]).tobytes()
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
+def _extract_fields(buf: bytes | np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized ragged bit-field extraction from a byte buffer.
 
-    def take(self, n: int) -> int:
-        out = 0
-        b = self.bits[self.pos : self.pos + n]
-        for bit in b:
-            out = (out << 1) | int(bit)
-        self.pos += n
-        return out
+    buf: packed MSB-first bitstream; starts/lengths: per-record bit
+    offset and width (0..64). Returns one uint64 per record.
 
-    def take1(self) -> int:
-        v = int(self.bits[self.pos])
-        self.pos += 1
-        return v
+    Per record: gather the 9 bytes covering any 64-bit window at any
+    bit phase, assemble a big-endian u64 aligned to the field's first
+    bit, and shift down to the field width — (k, 9) byte gathers
+    instead of a (k, 64) bit matrix.
+    """
+    k = len(starts)
+    if k == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
+    b = np.concatenate([b, np.zeros(9, dtype=np.uint8)])
+    byte_off = (starts >> 3).astype(np.int64)
+    nine = b[byte_off[:, None] + np.arange(9, dtype=np.int64)[None, :]].astype(np.uint64)
+    u64 = np.zeros(k, dtype=np.uint64)
+    for j in range(8):
+        u64 |= nine[:, j] << np.uint64(8 * (7 - j))
+    sh = (starts & 7).astype(np.uint64)
+    aligned = (u64 << sh) | (nine[:, 8] >> (np.uint64(8) - sh))  # sh=0: >>8 == 0
+    lens = lengths.astype(np.uint64)
+    down = np.where(lens > 0, np.uint64(64) - lens, np.uint64(0))
+    return np.where(lens > 0, aligned >> down, np.uint64(0))
+
+
+def _pack_fixed(values: np.ndarray, width: int) -> bytes:
+    """Pack k values of `width` bits each, MSB-first, contiguously."""
+    k = len(values)
+    if k == 0:
+        return b""
+    left = np.asarray(values, dtype=np.uint64) << np.uint64(64 - width)
+    bitmat = np.unpackbits(left.astype(">u8").view(np.uint8).reshape(k, 8), axis=1)
+    return np.packbits(bitmat[:, :width].ravel()).tobytes()
+
+
+def _unpack_fixed(buf: bytes, width: int, k: int) -> np.ndarray:
+    """Inverse of _pack_fixed: k fixed-width fields -> uint64 array."""
+    if k == 0:
+        return np.empty(0, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=width * k)
+    mat = bits.reshape(k, width).astype(np.uint64)
+    w = np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (mat * w).sum(axis=1, dtype=np.uint64)
+
+
+def _floor_log2_u64(x: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(x)) for x > 0, vectorized binary search over
+    the uint64 bit positions (6 shift/compare passes). Float log2 is
+    NOT safe here: it rounds up within half an ulp of 2^k (worst case
+    2^64, wrapping 63-hi in uint64) and silently truncates bits."""
+    v = x.copy()
+    n = np.zeros(len(v), dtype=np.uint64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        m = v >= (np.uint64(1) << s)
+        n[m] += s
+        v[m] >>= s
+    return n
 
 
 # ------------------------------------------------------- timestamps
 
+_DOD_BITS = np.array([7, 12, 64], dtype=np.int64)
+_DOD_BIAS = np.array([63, 2047, 0], dtype=np.int64)
+
 
 def dod_encode(ts: np.ndarray) -> bytes:
-    """Delta-of-delta encode an int64 seconds array."""
+    """Delta-of-delta encode an int64 seconds array (SoA layout)."""
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
     head = struct.pack("<I", n)
@@ -87,49 +140,24 @@ def dod_encode(ts: np.ndarray) -> bytes:
     head += struct.pack("<q", int(ts[0]))
     if n == 1:
         return _MAGIC + head
-    first_delta = int(ts[1] - ts[0])
-    head += struct.pack("<q", first_delta)
+    head += struct.pack("<q", int(ts[1] - ts[0]))
     if n == 2:
         return _MAGIC + head
 
-    deltas = np.diff(ts)
-    dod = np.diff(deltas)  # length n-2
-
-    # bucket per element (vectorized)
-    zero = dod == 0
-    b7 = (~zero) & (dod >= -63) & (dod <= 64)
-    b9 = (~zero) & (~b7) & (dod >= -255) & (dod <= 256)
-    b12 = (~zero) & (~b7) & (~b9) & (dod >= -2047) & (dod <= 2048)
-    b64 = ~(zero | b7 | b9 | b12)
-
-    lengths = np.select(
-        [zero, b7, b9, b12, b64], [1, 2 + 7, 3 + 9, 4 + 12, 4 + 64]
+    dod = np.diff(np.diff(ts))  # length n-2
+    nz = dod != 0
+    ctrl_bytes = np.packbits(nz).tobytes()
+    dnz = dod[nz]
+    tags = np.select(
+        [(dnz >= -63) & (dnz <= 64), (dnz >= -2047) & (dnz <= 2048)],
+        [0, 1],
+        default=2,
     ).astype(np.int64)
-    # control prefix | biased payload, assembled as one uint64 per element
-    payload = np.zeros(len(dod), dtype=np.uint64)
-    d = dod.astype(np.int64)
-    payload[zero] = 0  # single '0' bit
-    payload[b7] = (np.uint64(0b10) << np.uint64(7)) | (d[b7] + 63).astype(np.uint64)
-    payload[b9] = (np.uint64(0b110) << np.uint64(9)) | (d[b9] + 255).astype(np.uint64)
-    payload[b12] = (np.uint64(0b1110) << np.uint64(12)) | (d[b12] + 2047).astype(np.uint64)
-    # '1111' prefix occupies the top 4 of 68 bits — split into two chunks
-    if b64.any():
-        # encode as two entries: 4-bit prefix then 64-bit raw
-        idx = np.flatnonzero(b64)
-        chunks = np.empty(len(dod) + len(idx), dtype=np.uint64)
-        lens = np.empty(len(dod) + len(idx), dtype=np.int64)
-        pos = np.arange(len(dod)) + np.cumsum(np.insert(b64, 0, False))[:-1]
-        chunks[pos] = payload
-        lens[pos] = lengths
-        chunks[pos[b64]] = np.uint64(0b1111)
-        lens[pos[b64]] = 4
-        chunks[pos[b64] + 1] = d[b64].view(np.uint64) if d.dtype == np.int64 else d[b64].astype(np.uint64)
-        chunks[pos[b64] + 1] = d[b64].astype(np.int64).view(np.uint64)
-        lens[pos[b64] + 1] = 64
-        body = _pack_varbits(chunks, lens)
-    else:
-        body = _pack_varbits(payload, lengths)
-    return _MAGIC + head + body
+    tag_bytes = _pack_fixed(tags, 2)
+    lengths = _DOD_BITS[tags]
+    payload = (dnz + _DOD_BIAS[tags]).view(np.uint64)  # tag2 = raw i64 bits
+    body = _pack_varbits(payload, lengths)
+    return _MAGIC + head + ctrl_bytes + tag_bytes + body
 
 
 def dod_decode(blob: bytes) -> np.ndarray:
@@ -141,25 +169,24 @@ def dod_decode(blob: bytes) -> np.ndarray:
     if n == 1:
         return np.asarray([t0], dtype=np.int64)
     d0 = struct.unpack("<q", blob[16:24])[0]
+    if n == 2:
+        return np.asarray([t0, t0 + d0], dtype=np.int64)
+
+    m = n - 2
+    ctrl_len = (m + 7) // 8
+    ctrl = np.unpackbits(np.frombuffer(blob[24 : 24 + ctrl_len], dtype=np.uint8), count=m)
+    k = int(ctrl.sum())
+    tag_len = (2 * k + 7) // 8
+    tags = _unpack_fixed(blob[24 + ctrl_len : 24 + ctrl_len + tag_len], 2, k).astype(np.int64)
+    lengths = _DOD_BITS[tags]
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if k else np.empty(0, dtype=np.int64)
+    raw = _extract_fields(blob[24 + ctrl_len + tag_len :], starts, lengths)
+    dod = np.zeros(m, dtype=np.int64)
+    dod[ctrl == 1] = raw.view(np.int64) - _DOD_BIAS[tags]  # tag2 bias 0: i64 reinterpret
+    deltas = d0 + np.concatenate([[0], np.cumsum(dod)])  # length n-1
     out = np.empty(n, dtype=np.int64)
     out[0] = t0
-    out[1] = t0 + d0
-    r = _BitReader(blob[24:])
-    delta = d0
-    for i in range(2, n):
-        if r.take1() == 0:
-            dod = 0
-        elif r.take1() == 0:
-            dod = r.take(7) - 63
-        elif r.take1() == 0:
-            dod = r.take(9) - 255
-        elif r.take1() == 0:
-            dod = r.take(12) - 2047
-        else:
-            raw = r.take(64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        out[i] = out[i - 1] + delta
+    out[1:] = t0 + np.cumsum(deltas)
     return out
 
 
@@ -167,7 +194,7 @@ def dod_decode(blob: bytes) -> np.ndarray:
 
 
 def xor_encode(values: np.ndarray) -> bytes:
-    """Gorilla-style XOR encode an f64 array (vectorized)."""
+    """Gorilla-style XOR encode an f64 array (vectorized, SoA layout)."""
     v = np.asarray(values, dtype=np.float64)
     n = len(v)
     head = struct.pack("<I", n)
@@ -179,45 +206,20 @@ def xor_encode(values: np.ndarray) -> bytes:
         return head
 
     x = bits[1:] ^ bits[:-1]
-    zero = x == 0
-    nz = ~zero
-    # leading zeros via bit_length emulation: 64 - floor(log2(x)) - 1
-    lz = np.zeros(len(x), dtype=np.uint64)
-    tz = np.zeros(len(x), dtype=np.uint64)
-    if nz.any():
-        xv = x[nz]
-        # log2 on uint64 is exact for the leading-bit position
-        hi = np.zeros(len(xv), dtype=np.uint64)
-        # use float log2 carefully: values up to 2^63; add tiny guard
-        hi = np.floor(np.log2(xv.astype(np.float64) + 0.5)).astype(np.uint64)
-        lz_nz = np.minimum(np.uint64(31), np.uint64(63) - hi)  # cap at 31 (5 bits)
-        low = (xv & (~xv + np.uint64(1)))  # lowest set bit
-        tz_nz = np.floor(np.log2(low.astype(np.float64) + 0.5)).astype(np.uint64)
-        lz[nz] = lz_nz
-        tz[nz] = tz_nz
+    nz = x != 0
+    xv = x[nz]
+    hi = _floor_log2_u64(xv)
+    lz = np.minimum(np.uint64(31), np.uint64(63) - hi)  # cap at 31 (5 bits)
+    low = xv & (~xv + np.uint64(1))  # lowest set bit (power of two)
+    tz = _floor_log2_u64(low)
+    mlen = np.uint64(64) - lz - tz
+    meaning = xv >> tz
 
-    mlen = np.zeros(len(x), dtype=np.uint64)
-    mlen[nz] = np.uint64(64) - lz[nz] - tz[nz]
-    meaning = np.zeros(len(x), dtype=np.uint64)
-    meaning[nz] = x[nz] >> tz[nz]
-
-    # control '0' for zero-xor; '11' + 5b lz + 6b (mlen-1) + mlen bits
-    # (mlen in 1..64 stored as mlen-1 in 6 bits)
-    ctrl = np.where(zero, np.uint64(0), np.uint64(0b11)).astype(np.uint64)
-    header = (ctrl << np.uint64(11)) | (lz << np.uint64(6)) | np.where(nz, mlen - 1, np.uint64(0))
-    head_lens = np.where(zero, 1, 13).astype(np.int64)
-    head_chunks = np.where(zero, np.uint64(0), header)
-
-    # interleave header and meaningful-bit chunks
-    chunks = np.empty(len(x) * 2, dtype=np.uint64)
-    lens = np.empty(len(x) * 2, dtype=np.int64)
-    chunks[0::2] = head_chunks
-    lens[0::2] = head_lens
-    chunks[1::2] = meaning
-    lens[1::2] = np.where(nz, mlen, np.uint64(0)).astype(np.int64)
-    keep = lens > 0
-    body = _pack_varbits(chunks[keep], lens[keep])
-    return head + body
+    ctrl_bytes = np.packbits(nz).tobytes()
+    hdr = (lz << np.uint64(6)) | (mlen - np.uint64(1))
+    hdr_bytes = _pack_fixed(hdr, 11)
+    body = _pack_varbits(meaning, mlen.astype(np.int64))
+    return head + ctrl_bytes + hdr_bytes + body
 
 
 def xor_decode(blob: bytes) -> np.ndarray:
@@ -226,20 +228,29 @@ def xor_decode(blob: bytes) -> np.ndarray:
         return np.empty(0, dtype=np.float64)
     first = struct.unpack("<Q", blob[4:12])[0]
     out = np.empty(n, dtype=np.uint64)
-    out[0] = first
-    r = _BitReader(blob[12:])
-    prev = first
-    for i in range(1, n):
-        if r.take1() == 0:
-            out[i] = prev
-            continue
-        r.take1()  # second control bit, always 1 in this scheme
-        lz = r.take(5)
-        mlen = r.take(6) + 1
-        meaning = r.take(mlen)
-        tz = 64 - lz - mlen
-        prev = int(prev) ^ (meaning << tz)  # plain-int ops: full u64 range
-        out[i] = prev
+    out[0] = np.uint64(first)
+    if n == 1:
+        return out.view(np.float64)
+
+    ctrl_len = (n - 1 + 7) // 8
+    ctrl = np.unpackbits(
+        np.frombuffer(blob[12 : 12 + ctrl_len], dtype=np.uint8), count=n - 1
+    )
+    k = int(ctrl.sum())
+    hdr_len = (11 * k + 7) // 8
+    hdr = _unpack_fixed(blob[12 + ctrl_len : 12 + ctrl_len + hdr_len], 11, k)
+    lz = hdr >> np.uint64(6)
+    mlen = (hdr & np.uint64(63)) + np.uint64(1)
+    tz = np.uint64(64) - lz - mlen
+
+    lengths = mlen.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if k else np.empty(0, dtype=np.int64)
+    meaning = _extract_fields(blob[12 + ctrl_len + hdr_len :], starts, lengths)
+
+    # XOR is associative: the prev^delta recurrence is a prefix scan.
+    deltas = np.zeros(n - 1, dtype=np.uint64)
+    deltas[ctrl == 1] = meaning << tz
+    out[1:] = np.uint64(first) ^ np.bitwise_xor.accumulate(deltas)
     return out.view(np.float64)
 
 

@@ -152,15 +152,19 @@ def _fit_one_group(
         offset += size
 
 
-def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
-    """mapInPandas fit: split each Arrow batch into groups with NumPy
-    boundary detection instead of materializing one pandas DataFrame
-    per group (applyInPandas costs ~5-10 ms/group of pure overhead —
-    decisive when a day of transcripts means 10^4..10^6 small groups).
+def make_keyed_batch_fn(handle_group, columns: list[str]):
+    """Shared mapInPandas skeleton: split each sorted Arrow batch into
+    (conv_id, metric, day) groups with NumPy boundary detection instead
+    of materializing one pandas DataFrame per group (applyInPandas
+    costs ~5-10 ms/group of pure overhead — decisive when a day of
+    transcripts means 10^4..10^6 small groups).
 
     Rows arrive hash-partitioned by the group key and sorted within
     partitions, so groups are contiguous; a group that spans two Arrow
     batches is carried over in a small buffer.
+
+    ``handle_group(conv_id, metric, day, values, ts, rows)`` appends
+    output row dicts (with keys = ``columns``) for one group.
     """
 
     def run(batches):
@@ -192,11 +196,8 @@ def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
             ts_all = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
             rows: list = []
             for s, e in zip(starts, ends):
-                _fit_one_group(
-                    conv[s], met[s], day[s], values_all[s:e], ts_all[s:e],
-                    compressor_id, max_error, speed, rows,
-                )
-            return pd.DataFrame(rows, columns=_FRAME_COLS)
+                handle_group(conv[s], met[s], day[s], values_all[s:e], ts_all[s:e], rows)
+            return pd.DataFrame(rows, columns=columns)
 
         for pdf in batches:
             out = flush(pdf, is_last=False)
@@ -209,6 +210,13 @@ def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
                 yield out
 
     return run
+
+
+def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
+    def handle(conv_id, metric, day, values, ts, rows):
+        _fit_one_group(conv_id, metric, day, values, ts, compressor_id, max_error, speed, rows)
+
+    return make_keyed_batch_fn(handle, _FRAME_COLS)
 
 
 def fit_frames(

@@ -212,7 +212,7 @@ def test_fft_set_bytes():
     f.compress_hinted(np.array(V12), 2)
     got = f.to_bytes()
     expected = bytes([
-        15, 2, 0, 0, 0, 0, 152, 65, 0, 0, 0, 0, 4, 0, 0, 96, 192, 102, 144, 138,
+        15, 2, 0, 0, 0, 152, 65, 0, 0, 0, 0, 4, 0, 0, 96, 192, 102, 144, 138,
         64, 0, 0, 160, 64, 0, 0, 128, 63,
     ])
     assert len(got) == len(expected)

@@ -113,3 +113,16 @@ def test_gorilla_exact(ts_raw, values):
     ts2, v2 = gorilla_decode(gorilla_encode(ts, v))
     assert ts2.tolist() == ts.tolist()
     assert v2.view(np.uint64).tolist() == v.view(np.uint64).tolist()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=2, max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_gorilla_xor_adversarial_bit_patterns(raws):
+    """Arbitrary u64 bit patterns as f64 (opposite signs, NaN payloads,
+    near-full-width XORs): the integer leading-zero path must be exact
+    where float log2 rounded up within half an ulp of 2^k."""
+    from atsc_spark.core.gorilla import xor_decode, xor_encode
+
+    v = np.asarray(raws, dtype=np.uint64).view(np.float64)
+    out = xor_decode(xor_encode(v))
+    assert out.view(np.uint64).tolist() == v.view(np.uint64).tolist()
