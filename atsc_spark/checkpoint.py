@@ -135,7 +135,17 @@ def run_stage(
 
     pending_rows = keyed.join(F.broadcast(todo), "partition_key")
     out = process(pending_rows)
-    out.write.mode("append").partitionBy("partition_key").parquet(output_path)
+    # Dynamic partition overwrite: a crash between this write and the
+    # lineage record leaves keys with data but no 'done' row; the
+    # resumed run then REPLACES those keys' partitions instead of
+    # appending duplicate rows (idempotent resume).
+    spark = log.spark
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("partition_key").parquet(output_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     written = log.spark.read.parquet(output_path).join(
         F.broadcast(todo), "partition_key"

@@ -15,17 +15,29 @@ The reference positions ATSC exactly here: "in places where time
 series are rolled over" (`/root/reference/README.md:66`).  Storage is
 day-partitioned parquet directories (an Iceberg catalog swap makes the
 partition replacement a single atomic snapshot commit; with plain
-parquet we stage-write the tier output, validate counts, then drop the
-raw partition — crash between those steps leaves *both* copies, never
-neither, and the retention pass is idempotent).
+parquet we write target partitions with dynamic partition overwrite,
+validate counts, then drop the source partitions — a crash between
+those steps leaves *both* copies, never neither, and the next pass
+overwrites the target partition idempotently and finishes the drop).
+
+Scale shape: one Spark job per (source_tier -> target_tier) pair, not
+one per day — a year of aged days is ONE fit job whose output is
+``partitionBy("day")``.  Partition drops go through the Hadoop
+FileSystem API, so any object store with a Hadoop connector works (no
+local-FS ``shutil`` assumptions).
+
+Data in later tiers keeps aging: a tier0 day that crosses the t1
+threshold is decoded and re-fitted into tier1, and so on.  Re-fitting
+a lossy tier bounds the NEW error against the decoded values, so the
+end-to-end error can compound up to the sum of the tier bounds —
+documented behaviour, same as the reference re-compressing its own
+output.
 """
 
 from __future__ import annotations
 
-import shutil
 from dataclasses import dataclass, field
 from datetime import date
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +45,8 @@ from pyspark.sql import functions as F
 from .frames import decode_frames, fit_frames
 from .lossless import decode_lossless, fit_lossless
 from .rollup import rollup
+
+_TIER_ORDER = {"raw": 0, "tier0": 1, "tier1": 2, "tier2": 3, "rollup": 4}
 
 
 @dataclass
@@ -81,51 +95,97 @@ class TieredStore:
         except Exception:
             return None
 
-    def raw_days(self) -> list[date]:
-        raw = self._read_or_empty("raw")
-        if raw is None:
+    def tier_days(self, name: str) -> list[date]:
+        df = self._read_or_empty(name)
+        if df is None:
             return []
-        return sorted(r.day for r in raw.select("day").distinct().collect())
+        return sorted(r.day for r in df.select("day").distinct().collect())
+
+    def raw_days(self) -> list[date]:
+        return self.tier_days("raw")
+
+    def _delete_partition(self, tier: str, day: date) -> None:
+        """Drop one day partition via the Hadoop FileSystem API —
+        works on any FS/object store the cluster can mount, unlike a
+        local shutil.rmtree."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path(tier)}/day={day.isoformat()}")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
 
     # -------------------------------------------------------- retention
 
     def retention_pass(self, today: date) -> list[tuple[str, str]]:
-        """Move every raw day partition to its policy tier.
+        """Age every day partition in every tier to its policy tier.
 
-        Returns [(day, tier)] transitions performed.  Idempotent: a
-        crash after the tier write but before the raw drop re-runs the
-        (deterministic) tier write into a staged overwrite.
+        Returns [(day, tier)] transitions performed.  Grouped: all days
+        sharing a (source, target) pair are decoded + re-fitted in ONE
+        Spark job and written with dynamic partition overwrite, so a
+        crash-and-rerun replaces the target partitions instead of
+        duplicating them, and the source partitions are only dropped
+        after the written counts validate.
         """
         moves: list[tuple[str, str]] = []
-        for day in self.raw_days():
-            age = (today - day).days
-            tier = self.policy.tier_for_age(age)
-            if tier == "raw":
-                continue
-            day_df = self.spark.read.parquet(self.path("raw")).filter(
-                F.col("day") == F.lit(day)
-            ).select("conv_id", "metric", "bucket_ts", "value")
+        plan: dict[tuple[str, str], list[date]] = {}
+        for source in ("raw", "tier0", "tier1", "tier2"):
+            for day in self.tier_days(source):
+                target = self.policy.tier_for_age((today - day).days)
+                if _TIER_ORDER[target] > _TIER_ORDER[source]:
+                    plan.setdefault((source, target), []).append(day)
+        if not plan:
+            return moves
 
-            if tier == "tier0":
-                out = fit_lossless(day_df)
-            elif tier == "tier1":
-                out = fit_frames(day_df, max_error=self.policy.err_tier1)
-            elif tier == "tier2":
-                out = fit_frames(day_df, max_error=self.policy.err_tier2)
-            else:  # rollup-only
-                out = rollup(day_df, "1 hour").withColumn("day", F.lit(day))
+        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for (source, target), days in sorted(plan.items()):
+                src = self.spark.read.parquet(self.path(source)).filter(
+                    F.col("day").isin(days)
+                )
+                if source == "raw":
+                    series = src.select("conv_id", "metric", "bucket_ts", "value")
+                elif source == "tier0":
+                    series = decode_lossless(src)
+                else:
+                    series = decode_frames(src)
 
-            # stage-write the tier partition (overwrite = idempotent)
-            (
-                out.write.mode("overwrite")
-                .parquet(self.path(f"{tier}/day={day.isoformat()}"))
-            )
-            # validate, then drop the raw partition
-            n = self.spark.read.parquet(self.path(f"{tier}/day={day.isoformat()}")).count()
-            if n == 0 and day_df.limit(1).count() > 0:
-                raise RuntimeError(f"retention: empty tier output for {day}")
-            shutil.rmtree(Path(self.base) / "raw" / f"day={day.isoformat()}")
-            moves.append((day.isoformat(), tier))
+                if target == "tier0":
+                    out = fit_lossless(series)
+                elif target == "tier1":
+                    out = fit_frames(series, max_error=self.policy.err_tier1)
+                elif target == "tier2":
+                    out = fit_frames(series, max_error=self.policy.err_tier2)
+                else:  # rollup-only
+                    out = rollup(series, "1 hour").withColumn(
+                        "day", F.to_date("bucket_ts")
+                    )
+
+                # one job: write all moved days, replacing only those
+                # partitions (dynamic overwrite = idempotent rerun)
+                out.write.mode("overwrite").partitionBy("day").parquet(self.path(target))
+
+                # validate written counts, then drop source partitions
+                written = self.spark.read.parquet(self.path(target)).filter(
+                    F.col("day").isin(days)
+                )
+                counts = {
+                    r["day"]: r["n"]
+                    for r in written.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+                src_counts = {
+                    r["day"]: r["n"]
+                    for r in src.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+                for day in days:
+                    if counts.get(day, 0) == 0 and src_counts.get(day, 0) > 0:
+                        raise RuntimeError(
+                            f"retention: empty {target} output for {day}; "
+                            f"source {source} partition kept"
+                        )
+                    self._delete_partition(source, day)
+                    moves.append((day.isoformat(), target))
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         return moves
 
     # ------------------------------------------------------------- read

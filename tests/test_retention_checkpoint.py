@@ -137,3 +137,92 @@ def test_checkpoint_resume(spark, series, tmp_path):
     assert set(lineage.partition_key) == {"turn_rate", "text_len", "tool_calls"}
     assert (lineage.status == "done").all()
     assert (lineage.rows_in > 0).all() and (lineage.rows_out > 0).all()
+
+
+def test_retention_tier_progression(spark, series, tmp_path):
+    """Data already in tier0 keeps aging: a later pass re-fits it into
+    tier1 (ADVICE: tiers must progress, not only raw)."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store4"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    n = series.count()
+    moves = store.retention_pass(date(2024, 3, 1))
+    assert moves and all(t == "tier0" for _, t in moves)
+    assert store.tier_days("raw") == []
+
+    # crossing the t1 threshold moves tier0 -> tier1
+    store.policy = TierPolicy(t0_days=0, t1_days=0, t2_days=20000, t3_days=30000)
+    moves = store.retention_pass(date(2024, 3, 2))
+    assert moves and all(t == "tier1" for _, t in moves)
+    assert store.tier_days("tier0") == []
+    back = store.read_series()
+    assert back.count() == n
+    orig = series.toPandas().sort_values(["conv_id", "metric", "bucket_ts"])
+    got = back.toPandas().sort_values(["conv_id", "metric", "bucket_ts"])
+    o, g = orig["value"].to_numpy(), got["value"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mape = np.nanmean(np.abs((g - o) / o))
+    assert mape <= 0.01 + 1e-9
+
+
+def test_retention_crash_between_write_and_drop(spark, series, tmp_path):
+    """Crash after the tier write but before the source drop: the rerun
+    overwrites the target partitions (no duplicates) and finishes the
+    drop."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store5"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    n = series.count()
+
+    real_delete = store._delete_partition
+    calls = []
+
+    def exploding_delete(tier, day):
+        calls.append((tier, day))
+        raise RuntimeError("simulated crash before source drop")
+
+    store._delete_partition = exploding_delete
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.retention_pass(date(2024, 3, 1))
+    # both copies exist now (never neither)
+    assert store.tier_days("raw") != []
+    assert store.tier_days("tier0") != []
+
+    store._delete_partition = real_delete
+    moves = store.retention_pass(date(2024, 3, 1))
+    assert moves
+    assert store.tier_days("raw") == []
+    # no duplicated samples after the idempotent rerun
+    assert store.read_series().count() == n
+
+
+def test_checkpoint_resume_no_duplicates(spark, series, tmp_path):
+    """Crash between output write and lineage record: rerun must
+    replace the key's partition, not append a second copy."""
+    log = CheckpointLog(spark, str(tmp_path / "lineage2"))
+    out_path = str(tmp_path / "out2")
+
+    def process(df):
+        return df.groupBy("partition_key", "metric").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+
+    # simulate the crash: write the output but never record lineage
+    keyed = series.withColumn("partition_key", F.col("metric"))
+    out = process(keyed)
+    out.write.mode("append").partitionBy("partition_key").parquet(out_path)
+    before = spark.read.parquet(out_path).count()
+
+    r = run_stage(log, "agg2", series, F.col("metric"), process, out_path)
+    assert r.processed_keys == 3  # no 'done' rows existed -> all rerun
+    after = spark.read.parquet(out_path)
+    assert after.count() == before  # replaced, not duplicated
+    # exactly one row per (key, metric)
+    dup = after.groupBy("partition_key", "metric").count().filter("count > 1")
+    assert dup.count() == 0
