@@ -73,19 +73,66 @@ def minhash_signatures(
     return base.select("doc_id", F.array(*sig_cols).alias("sig"))
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket`` members before
+    the self-join.  A degenerate bucket (empty docs, boilerplate, an
+    adversarial constant) is O(m^2) pairs — the one pattern that turns
+    a bucketed join quadratic at 10^9 docs.  Dropped buckets are
+    near-useless for dedup anyway (members are pairwise-"similar" to
+    everything in them); the survivors bound every bucket's pair count
+    by max_bucket^2."""
+    if max_bucket is None:
+        return banded
+    ok = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    return banded.join(ok, keys)
+
+
+def lsh_bucket_report(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """What a cap would drop: (bucket keys, n_members) over the cap.
+    Run alongside a capped dedup so truncation is visible, not silent."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
+
+
+def _band_pairs(banded: DataFrame) -> DataFrame:
+    """Self-join (doc_id, band, bucket) rows within buckets only."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH:
     (doc_a, doc_b, n_bands_matched).
 
     rows_per_band = num_hashes / bands.  Only documents sharing a full
     band bucket are joined — the self-join runs per bucket, so shuffle
-    volume is proportional to candidate count, not n^2.
+    volume is proportional to candidate count, not n^2 — and buckets
+    over ``max_bucket`` members are dropped (see :func:`_cap_buckets`).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes, shingle_k)
@@ -113,19 +160,76 @@ def minhash_lsh_candidates(
     # once per side plus once for the join build.  Materialize it once;
     # at production scale this is "write the signatures table, then
     # self-join it".
-    banded = banded_plan.localCheckpoint(eager=False)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    banded = _cap_buckets(
+        banded_plan.localCheckpoint(eager=False), ["band", "bucket"], max_bucket
     )
+    return _band_pairs(banded)
+
+
+# ------------------------------------------- verifiable (md5) variants
+#
+# Both Spark and DuckDB ship md5 over UTF-8 strings with identical hex
+# output, so ``h(s) = first 15 hex chars of md5(s) as a 60-bit int`` is
+# bit-identical across engines (xxhash64, the fast path above, exists
+# only in Spark).  The graded queries use this hash family so the
+# DuckDB oracle replays the exact pipeline; pipeline structure
+# (shingle -> minhash -> band -> capped bucket join) is identical.
+
+MD5_60 = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+def minhash_signatures_md5(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle_k: int = 5
+) -> DataFrame:
+    """(doc_id, c0..c{n-1}) minhash signature columns, md5 family:
+    component i = min over shingles of h('i:' + shingle)."""
+    base = docs.select("doc_id", _shingles(text_col, shingle_k).alias("sh"))
+    sig_cols = [
+        F.array_min(
+            F.expr(
+                "transform(sh, s -> " + MD5_60.format(s=f"concat('{seed}:', s)") + ")"
+            )
+        ).alias(f"c{seed}")
+        for seed in range(num_hashes)
+    ]
+    return base.select("doc_id", *sig_cols)
+
+
+def minhash_lsh_candidates_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket: int | None = 100,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with the cross-engine md5 hash family
+    (bucket id = md5 of the comma-joined band components)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_md5(docs, text_col, num_hashes, shingle_k)
+    banded_plan = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"c{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    banded = _cap_buckets(
+        banded_plan.localCheckpoint(eager=False), ["band", "bucket"], max_bucket
+    )
+    return _band_pairs(banded)
 
 
 # ------------------------------------------------------------ simhash
@@ -157,10 +261,16 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return base.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = 1000
+) -> DataFrame:
     """Near-duplicate pairs by SimHash: block on 16-bit chunks (a pair
     within Hamming distance 3 shares at least one of 4 chunks), then
-    verify the exact Hamming distance via bit_count."""
+    verify the exact Hamming distance via bit_count.
+
+    Chunk buckets over ``max_bucket`` members are dropped before the
+    self-join (65,536 buckets per chunk index saturate at ~10^9 docs;
+    without a cap the join is quadratic within hot buckets)."""
     sh = simhash(docs)
     chunks = sh.select(
         "doc_id",
@@ -174,6 +284,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
+    chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -190,6 +301,45 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-engine-verifiable SimHash: (doc_id, simhash_hi, simhash_lo).
+
+    The 64 bit positions come from two 32-bit halves of each token's
+    md5 (hex chars 1-8 and 9-16), summed as +-1 votes; the signature is
+    returned as two 32-bit non-negative longs so neither engine hits
+    int64 sign issues at bit 63.  Same algorithm as :func:`simhash`,
+    md5 hash family instead of xxhash64.
+    """
+    hi = "cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)"
+    lo = "cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint)"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"transform(split({text_col}, ' '), t -> {hi})").alias("th_hi"),
+        F.expr(f"transform(split({text_col}, ' '), t -> {lo})").alias("th_lo"),
+    )
+
+    def half(col: str):
+        bits = []
+        for bit in range(32):
+            vote = F.expr(
+                f"aggregate({col}, 0L, (acc, h) -> acc + CASE WHEN (h >> {bit}) & 1 = 1"
+                " THEN 1 ELSE -1 END)"
+            )
+            bits.append(
+                F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        out = bits[0]
+        for e in bits[1:]:
+            out = out + e
+        return out
+
+    return base.select(
+        "doc_id", half("th_hi").alias("simhash_hi"), half("th_lo").alias("simhash_lo")
+    )
 
 
 # ----------------------------------------------- n-gram Jaccard
@@ -237,6 +387,67 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def ngram_jaccard_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via an inverted-index join:
+    (doc_a, doc_b, jaccard).
+
+    Scale shape: explode distinct n-grams, drop grams whose document
+    frequency exceeds ``max_df`` (stop-gram removal — a gram in every
+    doc contributes O(n^2) postings pairs and no signal), self-join the
+    postings on the gram, count intersections per pair, and compute
+    ``|A∩B| / (|A| + |B| - |A∩B|)``.  Pair work is bounded by
+    sum(df^2) over kept grams, not corpus^2.  Set sizes |A|,|B| count
+    ALL distinct grams; intersections only the df-kept ones, so hot
+    grams reduce (never inflate) the reported similarity —
+    deterministic, and mirrored exactly by the SQL oracle.
+    """
+    grams = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    kept = _cap_buckets(grams, ["g"], max_df)
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            # floor-based half-up rounding: small-integer ratios land on
+            # exact decimal halves, where Spark round (HALF_UP) and
+            # DuckDB round (half-even) disagree
+            (
+                F.floor(
+                    F.expr("try_divide(cast(inter as double), cast(na + nb - inter as double))")
+                    * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
 # --------------------------------------- embedding cosine near-dup
 
 
@@ -244,14 +455,18 @@ def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     block_col: str | None = "label",
+    max_bucket: int | None = 10000,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine similarity.
 
     Blocks on `block_col` (or an LSH sign bucket when None) before the
-    exact pairwise cosine, keeping the join out of O(n^2).
+    exact pairwise cosine, keeping the join out of O(n^2); blocks over
+    ``max_bucket`` members are dropped (sign buckets saturate at scale;
+    see :func:`_cap_buckets`).
     """
     vec = F.expr("transform(embedding, x -> cast(x as double))")
     base = embeddings.select(F.col("vec_id"), vec.alias("v"), F.col(block_col).alias("blk") if block_col else _sign_bucket().alias("blk"))
+    base = _cap_buckets(base, ["blk"], max_bucket)
     a, b = base.alias("a"), base.alias("b")
     dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
     norm = lambda side: F.sqrt(  # noqa: E731

@@ -740,35 +740,178 @@ SELECT event_type, bucket_ts, value FROM filled WHERE value IS NOT NULL
 
 
 def q_atsc_frames_report(spark, sf_dir):
-    """Compression report at the default 3% error (rows-only check —
-    the compressed sizes have no SQL equivalent)."""
+    """Frame-plan structure per series key: the number of frames the
+    greedy power-of-two chunker must emit and the samples covered are
+    deterministic functions of the per-(key, day) bucket counts, so the
+    oracle replays the chunk-count formula in SQL (bit_count over the
+    residual).  The ratio/error report stays in bench.py."""
     series = _events_series(spark, sf_dir)
     frames = fit_frames(series, max_error=0.03)
-    return compression_report(frames)
+    return frames.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("sample_count").cast("long").alias("n_samples"),
+    )
+
+
+SQL_FRAMES_REPORT = """
+WITH b AS (
+  SELECT event_type AS conv_id, date_trunc('day', ts) AS day,
+         date_trunc('minute', ts) AS bt
+  FROM events GROUP BY 1, 2, 3
+), n AS (
+  SELECT conv_id, day, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2
+), c AS (
+  -- greedy power-of-two chunk count: 131072-blocks, then one frame per
+  -- set bit above 512, then 0/1/2 frames for the <=1023 residual
+  SELECT conv_id, n,
+         (n // 131072)
+         + bit_count((n % 131072) >> 10)
+         + CASE WHEN ((n % 131072) & 1023) = 0 THEN 0
+                WHEN ((n % 131072) & 1023) <= 512 THEN 1
+                ELSE 2 END AS frames
+  FROM n
+)
+SELECT conv_id, CAST(sum(frames) AS BIGINT) AS n_frames,
+       CAST(sum(n) AS BIGINT) AS n_samples
+FROM c GROUP BY conv_id
+"""
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # 8 rows per band: a band only matches at high estimated Jaccard,
-    # keeping the candidate set near-linear in corpus size
-    return dedup.minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=4
+    # 4 rows per band: a band only matches at high estimated Jaccard,
+    # keeping the candidate set near-linear in corpus size.  md5 hash
+    # family (cross-engine verifiable); the xxhash64 fast path is the
+    # same pipeline (dedup.minhash_lsh_candidates).
+    return dedup.minhash_lsh_candidates_md5(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, max_bucket=100
     )
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, k: int = 5, max_bucket: int = 100) -> str:
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(CAST('0x' || substr(md5('{i}:' || sg), 1, 15) AS BIGINT)) AS c{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws(','"
+        + "".join(f", c{b * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT d.doc_id, substr(d.text, ii.i, {k}) AS sg
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - {k - 1}, 1))) AS i) ii
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{band_rows}
+), ok AS (
+  SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+), kept AS (
+  SELECT banded.* FROM banded JOIN ok USING (band, bucket)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_bands_matched
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+SQL_MINHASH_LSH = _minhash_sql()
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    v_hi = ",\n    ".join(
+        f"SUM(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b + 32}"
+        for b in range(32)
+    )
+    v_lo = ",\n    ".join(
+        f"SUM(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    hi_out = "\n     + ".join(
+        f"(CASE WHEN v{b + 32} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(32)
+    )
+    lo_out = "\n     + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+  FROM tok
+), votes AS (
+  SELECT doc_id,
+    {v_hi},
+    {v_lo}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       {hi_out} AS simhash_hi,
+       {lo_out} AS simhash_lo
+FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), min_jaccard=0.2
+    return dedup.ngram_jaccard_exact(
+        _t(spark, sf_dir, "documents"), n=3, min_jaccard=0.2, max_df=100
     )
 
 
+SQL_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[ii.i : ii.i + 2], ' ') AS g
+  FROM w,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i) ii
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM grams GROUP BY doc_id
+), ok AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) <= 100
+), kept AS (
+  SELECT grams.* FROM grams JOIN ok USING (g)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b,
+         floor((i::DOUBLE / (sa.ng + sb.ng - i)) * 10000 + 0.5) / 10000 AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.doc_a
+  JOIN sizes sb ON sb.doc_id = inter.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2
+"""
+
+
 def q_ivf_ann(spark, sf_dir):
+    """IVF with nprobe == nlist probes every cell, so the result must
+    equal brute force EXACTLY — this grades the whole IVF machinery
+    (k-means fit, cell assignment, probe ranking, final top-k) against
+    the SQL brute-force oracle.  Recall at nprobe < nlist is asserted
+    separately in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, k=5)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -841,4 +984,9 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": SQL_EMB_NEAR_DUPS,
     "atsc_roundtrip": SQL_ATSC_ROUNDTRIP,
     "atsc_gapfilled_roundtrip": SQL_ATSC_GAPFILLED,
+    "atsc_frames_report": SQL_FRAMES_REPORT,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ivf_ann": SQL_ANN_TOPK,
 }
