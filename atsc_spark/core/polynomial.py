@@ -103,14 +103,25 @@ def catmull_rom_decode(
 def idw_decode(
     positions: np.ndarray, values: np.ndarray, frame_size: int, vmin: float, vmax: float
 ) -> np.ndarray:
-    """Inverse-distance weighting, power 2, exact hit at kept points."""
-    x = np.arange(frame_size, dtype=np.float64)
-    d = x[:, None] - positions.astype(np.float64)[None, :]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        w = 1.0 / (d * d)
-        num = w @ values
-        den = w.sum(axis=1)
-        out = num / den
+    """Inverse-distance weighting, power 2, exact hit at kept points.
+
+    The evaluation grid is processed in bounded chunks: a forced-IDW
+    store-all frame can hold 131072 points, and the full
+    frame_size x n_points distance matrix would be 131072^2 doubles
+    (137 GB).  Chunking caps the working set at ~64 MB with identical
+    results (each output row only reads its own distance row).
+    """
+    pos_f = positions.astype(np.float64)
+    out = np.empty(frame_size, dtype=np.float64)
+    max_cells = 8_000_000  # ~64 MB of f64 per temporary
+    step = max(1, max_cells // max(len(pos_f), 1))
+    for lo in range(0, frame_size, step):
+        hi = min(lo + step, frame_size)
+        x = np.arange(lo, hi, dtype=np.float64)
+        d = x[:, None] - pos_f[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = 1.0 / (d * d)
+            out[lo:hi] = (w @ values) / w.sum(axis=1)
     exact = np.isin(np.arange(frame_size), positions)
     out[exact] = values[np.searchsorted(positions, np.flatnonzero(exact))]
     return round_and_limit(out, vmin, vmax, DECIMAL_PRECISION)

@@ -139,9 +139,62 @@ def rle_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
     return b"".join(parts), 0.0
 
 
+def _varint_steps(payload: bytes) -> bytes:
+    """Per-byte-offset varint width table: treating offset p as a tag
+    byte, the whole varint spans step[p] bytes.  One vectorized pass;
+    chasing through it costs two byte-indexing ops per varint."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    steps = np.select(
+        [arr < 251, arr == 0xFB, arr == 0xFC], [1, 3, 5], default=9
+    ).astype(np.uint8)
+    return steps.tobytes()
+
+
+def _parse_varint_run(
+    arr: np.ndarray, steps: bytes, pos: int, n: int
+) -> tuple[np.ndarray, int]:
+    """Parse `n` consecutive unsigned varints starting at byte `pos`.
+
+    Pointer-chase the (precomputed) step table to find each tag
+    position — O(1) Python work per varint — then extract all payloads
+    vectorized with masked gathers.
+    """
+    ps_list = []
+    append = ps_list.append
+    for _ in range(n):
+        append(pos)
+        pos += steps[pos]
+    ps = np.asarray(ps_list, dtype=np.int64)
+    tags = arr[ps]
+    out = tags.astype(np.uint64)
+    m3 = tags == 0xFB
+    if m3.any():
+        q = ps[m3]
+        out[m3] = arr[q + 1].astype(np.uint64) | (arr[q + 2].astype(np.uint64) << np.uint64(8))
+    m5 = tags == 0xFC
+    if m5.any():
+        q = ps[m5]
+        v = np.zeros(int(m5.sum()), dtype=np.uint64)
+        for b in range(4):
+            v |= arr[q + 1 + b].astype(np.uint64) << np.uint64(8 * b)
+        out[m5] = v
+    m9 = tags == 0xFD
+    if m9.any():
+        q = ps[m9]
+        v = np.zeros(int(m9.sum()), dtype=np.uint64)
+        for b in range(8):
+            v |= arr[q + 1 + b].astype(np.uint64) << np.uint64(8 * b)
+        out[m9] = v
+    return out, pos
+
+
 def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
     """Scatter run-start values then forward-fill (`rle.rs:204-236`).
 
+    Per-group headers (value + count) parse inline — group count is the
+    number of DISTINCT values, always small — and each group's index
+    run parses through :func:`_parse_varint_run` (vectorized payload
+    extraction), so per-index Python work is one step-table chase.
     Forward-fill is vectorized: scatter each run's value at its start
     index, then propagate with a running "last seen" gather.
     """
@@ -151,8 +204,11 @@ def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
     bitdepth = r.enum()
     n_values = r.vec_len()
     pos = r.pos
-    starts: list[int] = []
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    steps = _varint_steps(payload)
+    start_runs: list[np.ndarray] = []
     vals: list[float] = []
+    counts: list[int] = []
     unpack_f64 = struct.unpack_from
     for _ in range(n_values):
         if bitdepth == U8:
@@ -173,7 +229,7 @@ def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
         else:
             value = unpack_f64("<d", payload, pos)[0]
             pos += 8
-        # count varint then that many index varints, inlined
+        # count varint, then that many index varints (vectorized)
         tag = payload[pos]
         pos += 1
         if tag < 251:
@@ -184,27 +240,15 @@ def rle_decompress(sample_count: int, payload: bytes) -> np.ndarray:
         else:
             cnt = int.from_bytes(payload[pos : pos + 4], "little")
             pos += 4
-        for _i in range(cnt):
-            tag = payload[pos]
-            pos += 1
-            if tag < 251:
-                ix = tag
-            elif tag == 0xFB:
-                ix = payload[pos] | (payload[pos + 1] << 8)
-                pos += 2
-            elif tag == 0xFC:
-                ix = int.from_bytes(payload[pos : pos + 4], "little")
-                pos += 4
-            else:
-                ix = int.from_bytes(payload[pos : pos + 8], "little")
-                pos += 8
-            starts.append(ix)
-            vals.append(value)
+        idxs, pos = _parse_varint_run(arr, steps, pos, cnt)
+        start_runs.append(idxs)
+        vals.append(value)
+        counts.append(cnt)
     out = np.zeros(sample_count, dtype=np.float64)
-    if not starts:
+    if not start_runs or sum(counts) == 0:
         return out
-    s = np.asarray(starts, dtype=np.int64)
-    v = np.asarray(vals, dtype=np.float64)
+    s = np.concatenate(start_runs).astype(np.int64)
+    v = np.repeat(np.asarray(vals, dtype=np.float64), counts)
     order = np.argsort(s, kind="stable")
     s, v = s[order], v[order]
     # vectorized fill: for every position, the value of the last run

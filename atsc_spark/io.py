@@ -136,3 +136,77 @@ def vsri_timestamps(segments: list[VsriSegment]) -> np.ndarray:
         for s in segments
     ]
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+
+def write_wbro(path: str, values: np.ndarray, chunk: int = 2048) -> None:
+    """Write a `.wbro` file in the reference's rkyv archive layout
+    (inverse of :func:`read_wbro`; `wavbrro/src/wavbrro.rs:24-60`):
+    12-byte magic, sequential 2048-sample f64 chunk payloads, an
+    (rel_ptr i32, len u32) entry per chunk, then the 16-byte root with
+    the reference's hardcoded bitdepth 5 (`wavbrro.rs:60`)."""
+    v = np.asarray(values, dtype=np.float64)
+    chunks = [v[i : i + chunk] for i in range(0, len(v), chunk)] or [v]
+    parts = [b"WBRO0000WBRO"]
+    offsets = []
+    pos = 12
+    for c in chunks:
+        offsets.append(pos)
+        b = c.astype("<f8").tobytes()
+        parts.append(b)
+        pos += len(b)
+    entries_pos = pos
+    for i, (c, off) in enumerate(zip(chunks, offsets)):
+        ep = entries_pos + 8 * i
+        parts.append(struct.pack("<iI", off - ep, len(c)))
+    root_off = entries_pos + 8 * len(chunks)
+    parts.append(
+        struct.pack("<iIIB3x", entries_pos - root_off, len(chunks), len(v), 5)
+    )
+    with open(path, "wb") as fh:
+        fh.write(b"".join(parts))
+
+
+# ---------------------------------------------------- legacy WAV (S11)
+
+
+def read_legacy_wav(path: str) -> np.ndarray:
+    """Port of the legacy brro "wav" reader
+    (`tools/src/bin/wav2wbro.rs:35-72`): an N<=4-channel 16-bit PCM WAV
+    where each frame's channel samples are the u16 limbs of one f64 bit
+    pattern, LSB-first (`join_u16_into_f64`, `wav2wbro.rs:62-72`).
+    Channels beyond those present stay zero, matching the reference's
+    zero-initialized holder."""
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _, channels, _, _, _, bits = fmt
+    if bits != 16 or channels < 1 or channels > 4:
+        raise ValueError(f"legacy wav expects <=4 x 16-bit channels, got {channels}x{bits}")
+    ints = np.frombuffer(data, dtype="<i2").astype(np.uint16)
+    n = len(ints) - len(ints) % channels
+    mat = ints[:n].reshape(-1, channels).astype(np.uint64)
+    u64 = np.zeros(len(mat), dtype=np.uint64)
+    for c in range(channels):
+        u64 |= mat[:, c] << np.uint64(16 * c)
+    return u64.view(np.float64)
+
+
+def wav2wbro(wav_path: str, wbro_path: str) -> int:
+    """Legacy migration tool (`tools/src/bin/wav2wbro.rs:86-108`):
+    read the 4xu16-encoded WAV, write WavBrro.  Returns sample count."""
+    values = read_legacy_wav(wav_path)
+    write_wbro(wbro_path, values)
+    return len(values)

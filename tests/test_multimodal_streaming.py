@@ -106,3 +106,68 @@ def test_streaming_series_to_frames(spark, tmp_path):
     a = series.orderBy("conv_id", "metric", "bucket_ts").toPandas()
     b = decoded.orderBy("conv_id", "metric", "bucket_ts").toPandas()
     assert len(a) == len(b)
+
+
+def test_ppm_decode_roundtrip():
+    import numpy as np
+
+    from atsc_spark.datapipe.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # header with comment line
+    blob = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert decode_ppm(blob).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_wav_decode_roundtrip():
+    import numpy as np
+
+    from atsc_spark.datapipe.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(2)
+    x = np.round(rng.uniform(-0.9, 0.9, 1000) * 32767) / 32767
+    sr, out = decode_wav(encode_wav(x, 8000))
+    assert sr == 8000
+    np.testing.assert_allclose(out, x, atol=1 / 32767)
+
+
+def test_image_features_from_real_ppm(spark):
+    """Featurize REAL pixel content end-to-end: the channel means in
+    the features must equal the known pixel means exactly."""
+    import numpy as np
+
+    from atsc_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize_images,
+        encode_ppm,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[..., 0] = 255  # pure red
+    media = spark.createDataFrame(
+        [(1, "image", "image/x-portable-pixmap", 4, 4, 0, encode_ppm(px))], MEDIA_SCHEMA
+    )
+    row = decode_and_featurize_images(media).collect()[0]
+    assert abs(row.features[0] - 1.0) < 1e-6  # R mean
+    assert abs(row.features[1]) < 1e-6 and abs(row.features[2]) < 1e-6
+
+
+def test_audio_features_from_real_wav(spark):
+    import numpy as np
+
+    from atsc_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize_audio,
+        encode_wav,
+    )
+
+    x = np.full(1600, 0.5)
+    media = spark.createDataFrame(
+        [(7, "audio", "audio/wav", 0, 0, 100, encode_wav(x, 16000))], MEDIA_SCHEMA
+    )
+    row = decode_and_featurize_audio(media).collect()[0]
+    assert row.sample_rate == 16000 and row.n_samples == 1600
+    assert abs(row.rms - 0.5) < 1e-3
+    assert all(abs(f - 0.5) < 1e-3 for f in row.features)

@@ -120,3 +120,90 @@ def test_vsri_text_roundtrip(tmp_path):
     assert back == segs
     ts = vsri_timestamps(back)
     assert len(ts) == 229 and ts[0] == 55745 and ts[-1] == 59435
+
+
+def test_reference_bro_fixture_file():
+    """A committed `.bro` stream whose bytes come verbatim from the
+    reference's own e2e expectation (`atsc/src/data.rs:145-154`:
+    CompressedStream of 1024x 1.0 under Constant): decode the FILE
+    through stream_from_bytes -> values, and re-encode to the identical
+    bytes."""
+    import os
+
+    import numpy as np
+
+    from atsc_spark.core.frame import (
+        decompress_frame,
+        stream_from_bytes,
+        stream_to_bytes,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "constant_1024.bro")
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    frames = stream_from_bytes(blob)
+    assert len(frames) == 1
+    f = frames[0]
+    values = decompress_frame(f.compressor, f.sample_count, f.payload)
+    assert f.sample_count == 1024
+    assert np.array_equal(values, np.ones(1024))
+    assert stream_to_bytes(frames) == blob
+
+
+def test_write_wbro_roundtrip(tmp_path):
+    """write_wbro produces the same archive layout read_wbro (validated
+    against the reference corpora) parses — multi-chunk + tail."""
+    import numpy as np
+
+    from atsc_spark.io import read_wbro, write_wbro
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 2048, 2953, 5000):
+        v = rng.normal(size=n)
+        p = str(tmp_path / f"t{n}.wbro")
+        write_wbro(p, v)
+        out = read_wbro(p)
+        assert np.array_equal(out, v), n
+
+
+def test_wbro_layout_matches_reference_file(tmp_path):
+    """Re-encoding a reference-produced .wbro byte-identically."""
+    from atsc_spark.io import read_wbro, write_wbro
+
+    src = "/root/reference/atsc/tests/wbros/go_gc_heap_goal_bytes.wbro"
+    v = read_wbro(src)
+    p = str(tmp_path / "re.wbro")
+    write_wbro(p, v)
+    with open(src, "rb") as a, open(p, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_wav2wbro_recombination(tmp_path):
+    """Golden recombination: 4xu16 limbs -> f64 bits, LSB-first
+    (`wav2wbro.rs:62-72`), via a synthesized legacy WAV file."""
+    import struct
+
+    import numpy as np
+
+    from atsc_spark.io import read_legacy_wav, wav2wbro, read_wbro
+
+    values = np.array([1.0, -2.5, 0.0, 3.141592653589793, float("inf")])
+    limbs = values.view(np.uint64)
+    ints = np.empty((len(values), 4), dtype="<i2")
+    for c in range(4):
+        ints[:, c] = ((limbs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.uint16).view(np.int16)
+    data = ints.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 4, 8000, 8000 * 8, 8, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav_path = str(tmp_path / "legacy.wav")
+    with open(wav_path, "wb") as fh:
+        fh.write(wav)
+    out = read_legacy_wav(wav_path)
+    assert out.view(np.uint64).tolist() == limbs.tolist()
+    wbro_path = str(tmp_path / "out.wbro")
+    assert wav2wbro(wav_path, wbro_path) == 5
+    assert read_wbro(wbro_path).view(np.uint64).tolist() == limbs.tolist()
