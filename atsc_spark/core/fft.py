@@ -55,18 +55,25 @@ def _round_clamp(values_f32: np.ndarray, vmin_f32: float, vmax_f32: float) -> np
     return np.clip(out, np.float64(np.float32(vmin_f32)), np.float64(np.float32(vmax_f32)))
 
 
-def fft_trim(spectrum: np.ndarray, max_freq: int) -> list[tuple[int, np.float32, np.float32]]:
+def fft_trim(
+    spectrum: np.ndarray, max_freq: int, order: np.ndarray | None = None
+) -> list[tuple[int, np.float32, np.float32]]:
     """Keep the top ``max_freq`` bins by norm (`fft.rs:231-257`).
 
     Ties resolve by ascending position (stable sort); the reference's
     BinaryHeap tie order is unspecified, so exact-tie frames may select
     a different-but-equal-norm bin — decoded values are unaffected.
+
+    ``order`` lets the bounded-error loop pass a precomputed norm
+    argsort: the spectrum never changes between iterations, only the
+    budget does, so sorting once per frame instead of once per
+    iteration removes the loop's dominant cost.
     """
     if max_freq == 1:
         c = spectrum[0]
         return [(0, np.float32(c.real), np.float32(c.imag))]
-    norms = np.abs(spectrum)
-    order = np.argsort(-norms.astype(np.float64), kind="stable")
+    if order is None:
+        order = np.argsort(-np.abs(spectrum).astype(np.float64), kind="stable")
     out: list[tuple[int, np.float32, np.float32]] = []
     for pos in order[:max_freq]:
         c = spectrum[pos]
@@ -139,13 +146,14 @@ class FFTFrame:
 
         buf = np.fft.fft(g_data)
         half = buf[: len(buf) // 2 + 1].astype(np.complex64)
+        order = np.argsort(-np.abs(half).astype(np.float64), kind="stable")
 
         current_err = max_err + 1.0
         jump = 0
         iterations = 0
         while rust_f64_as_i32(max_err * 1000.0) < rust_f64_as_i32(current_err * 1000.0):
             iterations += 1
-            self.freqs = fft_trim(half, max_freq + jump)
+            self.freqs = fft_trim(half, max_freq + jump, order=order)
             out = _round_clamp(_ifft_real(self.freqs, length), self.min, self.max)
             current_err = calculate_error(g_data, out)
             if 1 <= iterations <= 17:

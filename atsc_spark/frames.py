@@ -152,62 +152,65 @@ def _fit_one_group(
         offset += size
 
 
-def make_keyed_batch_fn(handle_group, columns: list[str]):
-    """Shared mapInPandas skeleton: split each sorted Arrow batch into
-    (conv_id, metric, day) groups with NumPy boundary detection instead
-    of materializing one pandas DataFrame per group (applyInPandas
-    costs ~5-10 ms/group of pure overhead — decisive when a day of
-    transcripts means 10^4..10^6 small groups).
+def grouped_points(series: DataFrame, num_tasks: int) -> DataFrame:
+    """One row per (conv_id, metric, day) with the group's points as
+    JVM-built arrays: ``(conv_id, metric, day, ts_s array<long>,
+    vals array<double>)``, points sorted by time.
 
-    Rows arrive hash-partitioned by the group key and sorted within
-    partitions, so groups are contiguous; a group that spans two Arrow
-    batches is carried over in a small buffer.
+    This is the Arrow-friendly formulation of "give each fit group its
+    series": shipping 10^7 skinny rows into mapInPandas pays an
+    object-string + per-row conversion cost that dominated the whole
+    fit stage (measured 541 CPU-s of Python for ~80 CPU-s of actual
+    frame math); one row per group with numeric child arrays cuts the
+    fit wall ~3x at 32 cores.  Group size is day-bounded (<= 86,400
+    samples = 0.7 MB), so a group row can never blow executor memory.
+
+    The explicit hash repartition pins task count: the agg output is
+    byte-light and AQE's coalescing would serialize the compute-dense
+    fit that follows (AQE preserves user-specified counts, and the
+    groupBy reuses the partitioning — no second shuffle).
+    """
+    return (
+        series.withColumn("day", F.to_date("bucket_ts"))
+        .repartition(num_tasks, "conv_id", "metric", "day")
+        .groupBy("conv_id", "metric", "day")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket_ts").cast("timestamp").cast("long").alias("e"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ).alias("pts")
+        )
+        .select(
+            "conv_id", "metric", "day",
+            F.col("pts.e").alias("ts_s"), F.col("pts.v").alias("vals"),
+        )
+    )
+
+
+def make_grouped_fit_fn(handle_group, columns: list[str]):
+    """mapInPandas body over :func:`grouped_points` rows.
 
     ``handle_group(conv_id, metric, day, values, ts, rows)`` appends
     output row dicts (with keys = ``columns``) for one group.
     """
 
     def run(batches):
-        carry: pd.DataFrame | None = None
-
-        def flush(pdf: pd.DataFrame, is_last: bool):
-            nonlocal carry
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if pdf.empty:
-                return None
+        for pdf in batches:
             conv = pdf["conv_id"].to_numpy()
             met = pdf["metric"].to_numpy()
             day = pdf["day"].to_numpy()
-            # group boundary where any key changes
-            change = np.empty(len(pdf), dtype=bool)
-            change[0] = True
-            change[1:] = (conv[1:] != conv[:-1]) | (met[1:] != met[:-1]) | (day[1:] != day[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
-            if not is_last:
-                # hold the final (possibly incomplete) group for the next batch
-                carry = pdf.iloc[starts[-1] :]
-                starts, ends = starts[:-1], ends[:-1]
-                if len(starts) == 0:
-                    return None
-            values_all = pdf["value"].to_numpy(dtype=np.float64)
-            ts_all = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
+            ts_col = pdf["ts_s"].to_numpy()
+            val_col = pdf["vals"].to_numpy()
             rows: list = []
-            for s, e in zip(starts, ends):
-                handle_group(conv[s], met[s], day[s], values_all[s:e], ts_all[s:e], rows)
-            return pd.DataFrame(rows, columns=columns)
-
-        for pdf in batches:
-            out = flush(pdf, is_last=False)
-            if out is not None and len(out):
-                yield out
-        if carry is not None:
-            final, carry = carry, None
-            out = flush(final, is_last=True)
-            if out is not None and len(out):
-                yield out
+            for i in range(len(pdf)):
+                values = np.asarray(val_col[i], dtype=np.float64)
+                ts = np.asarray(ts_col[i], dtype=np.int64)
+                handle_group(conv[i], met[i], day[i], values, ts, rows)
+            yield pd.DataFrame(rows, columns=columns)
 
     return run
 
@@ -216,7 +219,7 @@ def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
     def handle(conv_id, metric, day, values, ts, rows):
         _fit_one_group(conv_id, metric, day, values, ts, compressor_id, max_error, speed, rows)
 
-    return make_keyed_batch_fn(handle, _FRAME_COLS)
+    return make_grouped_fit_fn(handle, _FRAME_COLS)
 
 
 def fit_frames(
@@ -230,49 +233,44 @@ def fit_frames(
 
     The group key includes the day so group size stays bounded; at 20 s
     cadence one series-day is <= 4,320 samples -> chunk plan
-    [4096, 224].  Everything inside the UDF is numpy over one Arrow
-    batch.
-
-    Partitioning note: frame fitting is compute-dense but byte-light
-    (aggregated series), so AQE's byte-based partition coalescing would
-    collapse it to a handful of tasks and serialize the CPU work.  We
-    pin an explicit hash repartition on the group key — AQE preserves
-    user-specified counts, and the groupBy reuses the partitioning (no
-    second shuffle).
+    [4096, 224].  Groups arrive as one row each with JVM-built point
+    arrays (:func:`grouped_points` — see there for the Arrow-cost and
+    partitioning rationale); everything inside the UDF is numpy.
     """
     comp_id = COMPRESSOR_IDS[compressor] if isinstance(compressor, str) else compressor
-    with_day = series.withColumn("day", F.to_date("bucket_ts"))
     if num_tasks is None:
         num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
-    partitioned = with_day.repartition(
-        num_tasks, "conv_id", "metric", "day"
-    ).sortWithinPartitions("conv_id", "metric", "day", "bucket_ts")
     fit = _make_fit_map_fn(comp_id, max_error, speed)
-    return partitioned.select(
-        "conv_id", "metric", "day", "bucket_ts", "value"
-    ).mapInPandas(fit, FRAME_SCHEMA)
+    return grouped_points(series, num_tasks).mapInPandas(fit, FRAME_SCHEMA)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Key columns go out dictionary-encoded (pandas Categorical ->
+    # Arrow dictionary): a decoded batch repeats each conv_id/metric
+    # ~sample_count times, and shipping integer codes instead of 10^7
+    # materialized Python strings roughly halves the Arrow transfer
+    # cost of this output-heavy stage.
     for pdf in batches:
-        conv_parts, met_parts, ts_parts, val_parts = [], [], [], []
+        ts_parts, val_parts, counts = [], [], []
         for row in pdf.itertuples(index=False):
             values = decompress_frame(
                 int(row.compressor_id), int(row.sample_count), bytes(row.payload)
             )
             ts = segments_to_ts(row.seg_interval, row.seg_start, row.seg_n)
             m = min(len(values), len(ts))
-            conv_parts.append(np.repeat(row.conv_id, m))
-            met_parts.append(np.repeat(row.metric, m))
             ts_parts.append(ts[:m])
             val_parts.append(values[:m])
-        if not conv_parts:
+            counts.append(m)
+        if not counts:
             yield pd.DataFrame(columns=["conv_id", "metric", "epoch_s", "value"])
             continue
+        reps = np.asarray(counts, dtype=np.int64)
+        conv_codes, conv_uni = pd.factorize(pdf["conv_id"].to_numpy())
+        met_codes, met_uni = pd.factorize(pdf["metric"].to_numpy())
         yield pd.DataFrame(
             {
-                "conv_id": np.concatenate(conv_parts),
-                "metric": np.concatenate(met_parts),
+                "conv_id": pd.Categorical.from_codes(np.repeat(conv_codes, reps), conv_uni),
+                "metric": pd.Categorical.from_codes(np.repeat(met_codes, reps), met_uni),
                 "epoch_s": np.concatenate(ts_parts),
                 "value": np.concatenate(val_parts),
             }

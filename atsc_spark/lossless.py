@@ -1,13 +1,12 @@
 """Spark layer for the lossless (tier-0) Gorilla blocks.
 
-Same distribution shape as the lossy frames: fit is a ``mapInPandas``
-over hash-partitioned, sorted batches with NumPy group-boundary
-splitting (shared skeleton with ``frames.fit_frames`` — applyInPandas
-pays ~5-10 ms of overhead per group, decisive at 10^4..10^6 series-day
-groups), and decode is a shuffle-free ``mapInPandas``.  Blocks
-roundtrip bit-exactly (timestamps and values), which is what lets the
-retention layer replace raw rows with tier-0 blocks without violating
-the per-row invariant.
+Same distribution shape as the lossy frames: the fit consumes
+``frames.grouped_points`` rows (one row per series-day with JVM-built
+numeric point arrays — see that docstring for why this beats shipping
+skinny rows into pandas), and decode is a shuffle-free
+``mapInPandas``.  Blocks roundtrip bit-exactly (timestamps and
+values), which is what lets the retention layer replace raw rows with
+tier-0 blocks without violating the per-row invariant.
 """
 
 from __future__ import annotations
@@ -21,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .core.gorilla import gorilla_decode, gorilla_encode
-from .frames import make_keyed_batch_fn
+from .frames import grouped_points, make_grouped_fit_fn
 
 BLOCK_SCHEMA = (
     "conv_id string, metric string, day date, sample_count int, "
@@ -51,44 +50,38 @@ def _fit_block(conv_id, metric, day, values: np.ndarray, ts: np.ndarray, rows: l
 
 
 def fit_lossless(series: DataFrame, num_tasks: int | None = None) -> DataFrame:
-    """series (conv_id, metric, bucket_ts, value) -> gorilla blocks.
-
-    Explicit repartition for the same reason as frames.fit_frames:
-    AQE's byte-based coalescing would serialize this compute-dense,
-    byte-light stage.  Sorted within partitions so the mapInPandas
-    boundary splitter sees contiguous groups.
-    """
-    with_day = series.withColumn("day", F.to_date("bucket_ts"))
+    """series (conv_id, metric, bucket_ts, value) -> gorilla blocks."""
     if num_tasks is None:
         num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
-    partitioned = with_day.repartition(
-        num_tasks, "conv_id", "metric", "day"
-    ).sortWithinPartitions("conv_id", "metric", "day", "bucket_ts")
-    fit = make_keyed_batch_fn(_fit_block, _BLOCK_COLS)
-    return partitioned.select(
-        "conv_id", "metric", "day", "bucket_ts", "value"
-    ).mapInPandas(fit, BLOCK_SCHEMA)
+    fit = make_grouped_fit_fn(_fit_block, _BLOCK_COLS)
+    return grouped_points(series, num_tasks).mapInPandas(fit, BLOCK_SCHEMA)
 
 
 def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # one output DataFrame per Arrow batch, assembled from concatenated
+    # numpy arrays — never a pandas frame per block (per-block pandas
+    # overhead dominates when blocks are small series-days)
     for pdf in batches:
-        outs = []
+        ts_parts, val_parts, counts = [], [], []
         for row in pdf.itertuples(index=False):
             ts, values = gorilla_decode(bytes(row.payload))
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": row.conv_id,
-                        "metric": row.metric,
-                        "epoch_s": ts,
-                        "value": values,
-                    }
-                )
-            )
-        yield (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame(columns=["conv_id", "metric", "epoch_s", "value"])
+            ts_parts.append(ts)
+            val_parts.append(values)
+            counts.append(len(values))
+        if not counts:
+            yield pd.DataFrame(columns=["conv_id", "metric", "epoch_s", "value"])
+            continue
+        # dictionary-encoded key columns (see frames._decode_batches)
+        reps = np.asarray(counts, dtype=np.int64)
+        conv_codes, conv_uni = pd.factorize(pdf["conv_id"].to_numpy())
+        met_codes, met_uni = pd.factorize(pdf["metric"].to_numpy())
+        yield pd.DataFrame(
+            {
+                "conv_id": pd.Categorical.from_codes(np.repeat(conv_codes, reps), conv_uni),
+                "metric": pd.Categorical.from_codes(np.repeat(met_codes, reps), met_uni),
+                "epoch_s": np.concatenate(ts_parts),
+                "value": np.concatenate(val_parts),
+            }
         )
 
 

@@ -102,9 +102,19 @@ def run(
         attempt = log.attempt_number(stage_name)
         pending = keyed.filter(F.col("day").cast("string").isin(todo_days)).drop("day")
         out = fit_fn(pending)
-        out.write.mode("append").partitionBy("day").parquet(f"{store_base}/{out_name}")
+        # dynamic partition overwrite: a crash between write and lineage
+        # record reprocesses the day by REPLACING its partition, never
+        # appending a duplicate copy (same fix as checkpoint.run_stage)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("day").parquet(f"{store_base}/{out_name}")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        # stats read-back: filter on the raw partition column (no cast)
+        # so Catalyst prunes to just the days written this run
         written = spark.read.parquet(f"{store_base}/{out_name}").filter(
-            F.col("day").cast("string").isin(todo_days)
+            F.col("day").isin([date.fromisoformat(d) for d in todo_days])
         )
         per_day = {
             r.k: r.asDict()

@@ -18,6 +18,11 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # Note on glibc malloc tuning: raising MALLOC_MMAP/TRIM thresholds
+    # speeds a standalone numpy worker pool ~10% at 32 workers (fewer
+    # kernel mmap round-trips), but measurably HURTS PySpark here —
+    # pyspark.daemon forks a worker per task, and retained dirty heaps
+    # make every fork pay copy-on-write.  Measured and rejected.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
