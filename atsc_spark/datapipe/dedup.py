@@ -42,6 +42,17 @@ def dedup_exact_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ----------------------------------------------------------- minhash
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure the hash-heavy projections below actually parallelize: a
+    small corpus often arrives as one parquet split, and a single
+    partition serializes 10^7+ JVM hash calls onto one core.  No-op
+    when the input already has enough splits (the 100 TB case)."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism)
+    return docs
+
+
 def _shingles(text_col: str, k: int = 5):
     """Character k-gram shingle array (JVM-side)."""
     # positions 1..len-k+1
@@ -63,7 +74,7 @@ def minhash_signatures(
     # hash each shingle string ONCE, then derive the k signature
     # components by re-hashing the 8-byte value — ~k times cheaper
     # than hashing the string per seed
-    base = docs.select("doc_id", _shingles(text_col, shingle_k).alias("sh")).select(
+    base = _spread(docs).select("doc_id", _shingles(text_col, shingle_k).alias("sh")).select(
         "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs")
     )
     sig_cols = [
@@ -183,7 +194,7 @@ def minhash_signatures_md5(
 ) -> DataFrame:
     """(doc_id, c0..c{n-1}) minhash signature columns, md5 family:
     component i = min over shingles of h('i:' + shingle)."""
-    base = docs.select("doc_id", _shingles(text_col, shingle_k).alias("sh"))
+    base = _spread(docs).select("doc_id", _shingles(text_col, shingle_k).alias("sh"))
     sig_cols = [
         F.array_min(
             F.expr(
@@ -243,7 +254,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     JVM-side, no Python.
     """
     tokens = F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias("th")
-    base = docs.select("doc_id", tokens)
+    base = _spread(docs).select("doc_id", tokens)
     bit_exprs = []
     for bit in range(64):
         # +1 when bit set else -1, summed over tokens; sign -> bit
@@ -314,7 +325,7 @@ def simhash_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     hi = "cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)"
     lo = "cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint)"
-    base = docs.select(
+    base = _spread(docs).select(
         "doc_id",
         F.expr(f"transform(split({text_col}, ' '), t -> {hi})").alias("th_hi"),
         F.expr(f"transform(split({text_col}, ' '), t -> {lo})").alias("th_lo"),
@@ -407,7 +418,7 @@ def ngram_jaccard_exact(
     grams reduce (never inflate) the reported similarity —
     deterministic, and mirrored exactly by the SQL oracle.
     """
-    grams = docs.select(
+    grams = _spread(docs).select(
         F.col("doc_id"),
         F.explode(
             F.array_distinct(
