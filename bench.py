@@ -83,6 +83,9 @@ def main() -> None:
     n_convs = max(50, int(30000 * sf))
 
     def run_transcripts():
+        # input synthesis is materialized outside the turns/sec window
+        # but (deliberately) inside the stage wall: q_atsc_transcripts
+        # = end-to-end ingest+fit+decode, turns_per_sec = engine only
         t = transcripts(spark, n_convs=n_convs).cache()
         n_turns = t.count()
         t0 = time.time()
