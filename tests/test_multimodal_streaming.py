@@ -171,3 +171,67 @@ def test_audio_features_from_real_wav(spark):
     assert row.sample_rate == 16000 and row.n_samples == 1600
     assert abs(row.rms - 0.5) < 1e-3
     assert all(abs(f - 0.5) < 1e-3 for f in row.features)
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """The VSRI append-only contract, streaming edition: once the
+    watermark has passed a bucket, a late turn for that bucket is
+    dropped — history is never rewritten (no duplicate emission, no
+    changed aggregate)."""
+    import pandas as pd
+
+    from atsc_spark.streaming import stream_series_to_frames
+
+    inp = tmp_path / "in"
+    store = tmp_path / "store"
+    inp.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(
+            pdf,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(inp / name))
+
+    base = "2024-01-01 00:00:"
+    # batch 1: three turns in the 00:00:00 bucket, then one far ahead
+    # (advances the watermark well past that bucket)
+    write_batch(
+        "b1",
+        [
+            ("c1", 0, "user", "hello", None, base + "00"),
+            ("c1", 1, "assistant", "hi", None, base + "05"),
+            ("c1", 2, "user", "ok", None, base + "15"),
+            ("c1", 3, "assistant", "done", None, "2024-01-01 01:00:00"),
+        ],
+    )
+    q = stream_series_to_frames(
+        spark, str(inp) + "/*", str(store), bucket="20 seconds", watermark="2 minutes"
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(store / "series_stream"))
+    first = {
+        (r.metric, str(r.bucket_ts)): r.value
+        for r in out.filter("conv_id = 'c1'").collect()
+        if str(r.bucket_ts).endswith("00:00:00")
+    }
+    assert first[("turn_rate", "2024-01-01 00:00:00")] == 3.0
+
+    # batch 2: a LATE turn for the already-final 00:00:00 bucket
+    write_batch("b2", [("c1", 9, "user", "late!!", None, base + "10")])
+    q2 = stream_series_to_frames(
+        spark, str(inp) + "/*", str(store), bucket="20 seconds", watermark="2 minutes"
+    )
+    q2.awaitTermination(120)
+
+    out2 = spark.read.parquet(str(store / "series_stream"))
+    rows = out2.filter(
+        "conv_id = 'c1' AND metric = 'turn_rate' "
+        "AND cast(bucket_ts as string) = '2024-01-01 00:00:00'"
+    ).collect()
+    # exactly one emission, value unchanged: the late turn was dropped
+    assert len(rows) == 1 and rows[0].value == 3.0

@@ -1,0 +1,100 @@
+"""Physical-plan audits: the scale posture as executable assertions.
+
+These pin the properties that make the engine viable at 100 TB —
+filter/column pushdown into the parquet scan, broadcast joins for
+small dimensions, and the shuffle counts of the hot paths — so a
+refactor that silently regresses the plan fails CI, not production.
+"""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not available"
+)
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_exchanges(df) -> int:
+    """Count physical Exchange operators (formatted explain prints each
+    node once in the tree and once in the details — count the
+    numbered detail headers only)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan_of(df), re.M))
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    """A filtered 2-column projection must push the predicates into the
+    scan and read ONLY those columns."""
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = e.filter(
+        (F.col("event_type") == "click") & (F.col("ts") >= "2024-01-02")
+    ).select("ts", "value")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(event_type)" in plan or "EqualTo(event_type,click)" in plan
+    # ReadSchema holds only the projected+filtered columns, never props/user_id
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" in read_schema and "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_small_dimension_join_broadcasts(spark):
+    """nation/region-sized dimensions must broadcast, never shuffle the
+    fact side onto the join key."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["revenue_by_nation"](spark, SF_DIR)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decode_frames_is_shuffle_free(spark):
+    """Frames are self-describing, so decode must add ZERO exchanges
+    beyond what produced the frames input (here: none — frames come
+    from a parquet-free local fixture via an already-shuffled fit)."""
+    from atsc_spark.fixtures import monitoring_series
+    from atsc_spark.frames import decode_frames, fit_frames
+
+    frames = fit_frames(monitoring_series(spark, n_series=4, samples_per_series=128))
+    n_fit = n_exchanges(frames)
+    decoded = decode_frames(frames)
+    n_dec = n_exchanges(decoded)
+    assert n_dec == n_fit, "decode added a shuffle"
+
+
+def test_fit_frames_single_shuffle(spark):
+    """The fit pipeline shuffles exactly once: the pinned hash
+    repartition on the group key; the groupBy reuses that partitioning."""
+    from atsc_spark.fixtures import monitoring_series
+    from atsc_spark.frames import fit_frames
+
+    series = monitoring_series(spark, n_series=4, samples_per_series=128)
+    base = n_exchanges(series)
+    fitted = n_exchanges(fit_frames(series))
+    assert fitted == base + 1, f"fit added {fitted - base} exchanges, want 1"
+
+
+def test_rollup_cascade_single_shuffle_per_level(spark):
+    from atsc_spark.fixtures import monitoring_series
+    from atsc_spark.rollup import rollup, rollup_cascade_step
+
+    series = monitoring_series(spark, n_series=4, samples_per_series=128)
+    base = n_exchanges(series)
+    r1m = rollup(series, "1 minute")
+    r1h = rollup_cascade_step(r1m, "1 hour")
+    assert n_exchanges(r1m) == base + 1
+    assert n_exchanges(r1h) == base + 2
