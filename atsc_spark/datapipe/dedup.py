@@ -505,3 +505,50 @@ def _sign_bucket(dims: int = 8):
     for e in bits[1:]:
         out = out + e
     return out
+
+
+def simhash_near_pairs_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs over the verifiable md5 SimHash:
+    (doc_a, doc_b, hamming).  Same chunk-blocking shape as
+    :func:`simhash_near_pairs` (a pair within Hamming distance 3 of 64
+    bits shares at least one of 4 16-bit chunks), expressed over the
+    (hi, lo) halves so the DuckDB oracle can replay it exactly."""
+    sh = simhash_md5(docs, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.posexplode(
+            F.array(
+                F.expr("cast(simhash_lo & 65535 as int)"),
+                F.expr("cast((simhash_lo >> 16) & 65535 as int)"),
+                F.expr("cast(simhash_hi & 65535 as int)"),
+                F.expr("cast((simhash_hi >> 16) & 65535 as int)"),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], max_bucket)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "bit_count(a.simhash_hi ^ b.simhash_hi)"
+                " + bit_count(a.simhash_lo ^ b.simhash_lo)"
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

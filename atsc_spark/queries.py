@@ -914,6 +914,76 @@ def q_ivf_ann(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Documents that survive exact dedup (min doc_id per digest)."""
+    return dedup.dedup_exact_survivors(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SURVIVORS = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_simhash_candidates(spark, sf_dir):
+    """Chunk-blocked SimHash candidate pairs with exact Hamming
+    distance (md5 family, no filter — verifies the blocking join, the
+    xor and the bit_count against the oracle on real rows; the
+    near-dup filter is a trivial WHERE on top)."""
+    return dedup.simhash_near_pairs_md5(
+        _t(spark, sf_dir, "documents"), max_hamming=64
+    )
+
+
+def _simhash_candidates_sql() -> str:
+    chunk_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash_hi, simhash_lo, {i} AS chunk_idx, "
+        f"CAST(({col} >> {sh}) & 65535 AS INT) AS chunk FROM sim"
+        for i, (col, sh) in enumerate(
+            [("simhash_lo", 0), ("simhash_lo", 16), ("simhash_hi", 0), ("simhash_hi", 16)]
+        )
+    )
+    return f"""
+WITH sim AS ({SQL_SIMHASH}
+), chunks AS (
+{chunk_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+          + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+"""
+
+
+SQL_SIMHASH_CANDIDATES = _simhash_candidates_sql()
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus-level term frequency top-k — the classic text-analytics
+    aggregate (explode + count + rank with a term tiebreak)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("term", "n", "rnk")
+    )
+
+
+SQL_TOP_TERMS = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term
+), r AS (
+  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM c
+)
+SELECT term, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -935,6 +1005,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "dedup_exact": q_dedup_exact,
+    "dedup_survivors": q_dedup_survivors,
+    "simhash_candidates": q_simhash_candidates,
+    "top_terms": q_top_terms,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
@@ -974,6 +1047,9 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "simhash_candidates": SQL_SIMHASH_CANDIDATES,
+    "top_terms": SQL_TOP_TERMS,
     "token_count": SQL_TOKEN_COUNT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
