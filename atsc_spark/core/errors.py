@@ -42,12 +42,23 @@ def error_mae(original, generated) -> float:
 
 def error_mape(original, generated) -> float:
     """`error.rs:104-116` — mean(|(g - o) / o|); NaN when o has zeros
-    and the reconstruction differs there (0/0 -> NaN propagates)."""
+    and the reconstruction differs there (0/0 -> NaN propagates).
+
+    IEEE zero-division semantics are produced explicitly (masked divide
+    + inf/NaN fill) instead of under np.errstate: this runs a couple
+    hundred thousand times per fit task and the errstate context
+    manager alone costs ~13 us/call.
+    """
     o = np.asarray(original, dtype=np.float64)
     g = np.asarray(generated, dtype=np.float64)
     _check(o, g)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return float(np.sum(np.abs((g - o) / o)) / len(o))
+    diff = np.abs(g - o)
+    nz = o != 0.0
+    # 0/0 -> NaN, x/0 -> inf, exactly like unguarded IEEE division
+    out = np.divide(diff, np.abs(o), out=np.full_like(diff, np.nan), where=nz)
+    if not nz.all():
+        out[~nz & (diff > 0)] = np.inf
+    return float(np.sum(out) / len(o))
 
 
 def error_smape(original, generated) -> float:

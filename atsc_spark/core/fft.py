@@ -55,9 +55,32 @@ def _round_clamp(values_f32: np.ndarray, vmin_f32: float, vmax_f32: float) -> np
     return np.clip(out, np.float64(np.float32(vmin_f32)), np.float64(np.float32(vmax_f32)))
 
 
+class FreqSet:
+    """The selected half-spectrum bins as parallel arrays.
+
+    Array-native on purpose: the bounded-error loop re-selects and
+    re-evaluates up to 23 times per frame, and list-of-tuples churn
+    (build tuples, fromiter them back) was the single largest cost of
+    the whole fit stage under the in-worker profiler.
+    """
+
+    __slots__ = ("pos", "re", "im")
+
+    def __init__(self, pos: np.ndarray, re: np.ndarray, im: np.ndarray) -> None:
+        self.pos = pos
+        self.re = re
+        self.im = im
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def __iter__(self):  # tuple view (tests / to_bytes)
+        return iter(zip(self.pos.tolist(), self.re, self.im))
+
+
 def fft_trim(
     spectrum: np.ndarray, max_freq: int, order: np.ndarray | None = None
-) -> list[tuple[int, np.float32, np.float32]]:
+) -> FreqSet:
     """Keep the top ``max_freq`` bins by norm (`fft.rs:231-257`).
 
     Ties resolve by ascending position (stable sort); the reference's
@@ -67,32 +90,37 @@ def fft_trim(
     ``order`` lets the bounded-error loop pass a precomputed norm
     argsort: the spectrum never changes between iterations, only the
     budget does, so sorting once per frame instead of once per
-    iteration removes the loop's dominant cost.
+    iteration removes a dominant loop cost.
     """
     if max_freq == 1:
-        c = spectrum[0]
-        return [(0, np.float32(c.real), np.float32(c.imag))]
+        c = spectrum[:1]
+        return FreqSet(
+            np.zeros(1, dtype=np.int64),
+            c.real.astype(np.float32),
+            c.imag.astype(np.float32),
+        )
     if order is None:
         order = np.argsort(-np.abs(spectrum).astype(np.float64), kind="stable")
-    out: list[tuple[int, np.float32, np.float32]] = []
-    for pos in order[:max_freq]:
-        c = spectrum[pos]
-        if c.real == 0.0 and c.imag == 0.0:
-            break
-        out.append((int(pos), np.float32(c.real), np.float32(c.imag)))
-    return out
+    sel = order[:max_freq]
+    c = spectrum[sel]
+    re = c.real.astype(np.float32, copy=False)
+    im = c.imag.astype(np.float32, copy=False)
+    # popping an exactly-zero frequency stops the selection (fft.rs:252)
+    zero = (re == 0.0) & (im == 0.0)
+    if zero.any():
+        cut = int(np.argmax(zero))
+        sel, re, im = sel[:cut], re[:cut], im[:cut]
+    return FreqSet(sel.astype(np.int64), re, im)
 
 
-def _mirror(freqs, length: int) -> np.ndarray:
+def _mirror(freqs: FreqSet, length: int) -> np.ndarray:
     """Rebuild the full complex spectrum from the stored half
     (`fft.rs:401-422`): conjugate-mirror every non-DC bin.
     Vectorized scatter (runs up to 22x per bounded-error fit)."""
     full = np.zeros(length, dtype=np.complex64)
-    if not freqs:
+    if not len(freqs):
         return full
-    pos = np.fromiter((f[0] for f in freqs), dtype=np.int64, count=len(freqs))
-    re = np.fromiter((f[1] for f in freqs), dtype=np.float32, count=len(freqs))
-    im = np.fromiter((f[2] for f in freqs), dtype=np.float32, count=len(freqs))
+    pos, re, im = freqs.pos, freqs.re, freqs.im
     full[pos] = re + 1j * im
     nz = pos != 0
     full[length - pos[nz]] = re[nz] - 1j * im[nz]
@@ -115,7 +143,8 @@ class FFTFrame:
     def __init__(self, vmin: float, vmax: float) -> None:
         self.min = np.float32(vmin)
         self.max = np.float32(vmax)
-        self.freqs: list[tuple[int, np.float32, np.float32]] = []
+        e = np.empty(0, dtype=np.int64)
+        self.freqs = FreqSet(e, e.astype(np.float32), e.astype(np.float32))
         self.error: float | None = None
 
     # ------------------------------------------------------------ compress
@@ -193,16 +222,17 @@ class FFTFrame:
         cid = r.u8()
         assert cid == FFT_ID, cid
         n = r.vec_len()
-        freqs = []
-        for _ in range(n):
-            pos = r.uvarint()
-            re = np.float32(r.f32())
-            im = np.float32(r.f32())
-            freqs.append((pos, re, im))
+        pos = np.empty(n, dtype=np.int64)
+        re = np.empty(n, dtype=np.float32)
+        im = np.empty(n, dtype=np.float32)
+        for i in range(n):
+            pos[i] = r.uvarint()
+            re[i] = r.f32()
+            im[i] = r.f32()
         vmax = r.f32()
         vmin = r.f32()
         frame = cls(vmin, vmax)
-        frame.freqs = freqs
+        frame.freqs = FreqSet(pos, re, im)
         return frame
 
     # ------------------------------------------------------------ decode

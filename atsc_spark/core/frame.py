@@ -138,11 +138,22 @@ def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameRe
         payload, err = constant_compress(data, stats)
         return FrameResult(CONSTANT, n, payload, err)
 
-    candidates = [FFT, POLYNOMIAL, RLE]
+    def tournament_candidates(evaluated: np.ndarray) -> list[int]:
+        # MAPE's zero quirk (`error.rs:104-116`): any zero in the
+        # evaluated slice makes the lossy candidates' error 0/0 -> NaN
+        # or x/0 -> inf, which can NEVER satisfy `error <= bound` —
+        # so skip their (up to 23-iteration) bounded fits entirely.
+        # The selection outcome is provably identical: they could not
+        # have entered `passing`, and RLE (error 0.0) always does.
+        if (evaluated == 0.0).any():
+            return [RLE]
+        return [FFT, POLYNOMIAL, RLE]
+
     sample_n = COMPRESSION_SPEED[speed]
     if n >= sample_n:
         results = [
-            (compress_bounded(c, data[:sample_n], max_error), c) for c in candidates
+            (compress_bounded(c, data[:sample_n], max_error), c)
+            for c in tournament_candidates(data[:sample_n])
         ]
         passing = [(r, c) for r, c in results if r[1] <= max_error]
         # RLE always reports 0.0, so `passing` is never empty.
@@ -150,7 +161,9 @@ def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameRe
         payload, err = compress_bounded(chosen, data, max_error)
         return FrameResult(chosen, n, payload, err)
 
-    results = [(compress_bounded(c, data, max_error), c) for c in candidates]
+    results = [
+        (compress_bounded(c, data, max_error), c) for c in tournament_candidates(data)
+    ]
     passing = [(r, c) for r, c in results if r[1] <= max_error]
     pool = passing if passing else results
     (payload, err), chosen = min(pool, key=lambda rc: len(rc[0][0]))
