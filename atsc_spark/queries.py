@@ -984,6 +984,55 @@ SELECT term, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 20
 """
 
 
+def q_counter_increase(spark, sf_dir):
+    """Prometheus-style increase() with counter-reset handling: a
+    synthetic monotonic counter (per-type running sum of |value|,
+    reset at each day boundary) aggregated per hour."""
+    e = _t(spark, sf_dir, "events")
+    from .rollup import counter_increase
+
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    counter = (
+        e.select(
+            F.col("event_type").alias("conv_id"),
+            F.lit("counter").alias("metric"),
+            F.col("ts").alias("bucket_ts"),
+            F.round(F.sum(F.abs("value")).over(w), 4).alias("value"),
+        )
+        # one counter reading per distinct ts (the last event's running
+        # sum) so the downstream lag() has a deterministic order
+        .groupBy("conv_id", "metric", "bucket_ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return counter_increase(counter, "1 hour").select(
+        F.col("conv_id").alias("event_type"), "bucket_ts", "increase", "n_samples"
+    )
+
+
+SQL_COUNTER_INCREASE = """
+WITH counter AS (
+  SELECT event_type, ts, event_id,
+         round(sum(abs(value)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v
+  FROM events
+), c1 AS (
+  SELECT event_type, ts, max(v) AS v FROM counter GROUP BY 1, 2
+), d AS (
+  SELECT event_type, ts, v,
+         lag(v) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM c1
+)
+SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+       round(sum(CASE WHEN prev IS NULL THEN NULL
+                      WHEN v >= prev THEN v - prev
+                      ELSE v END), 4) AS increase,
+       count(v) AS n_samples
+FROM d GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -1001,6 +1050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "time_weighted_avg": q_time_weighted_avg,
     "moving_avg": q_moving_avg,
+    "counter_increase": q_counter_increase,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1043,6 +1093,7 @@ ORACLES: dict[str, str] = {
     "percentiles": SQL_PERCENTILES,
     "time_weighted_avg": SQL_TWA,
     "moving_avg": SQL_MOVING_AVG,
+    "counter_increase": SQL_COUNTER_INCREASE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,
     "revenue_by_nation": SQL_REVENUE_NATION,

@@ -198,3 +198,32 @@ def session_segments(
     gap = F.unix_timestamp("bucket_ts") - F.unix_timestamp(F.lag("bucket_ts", 1).over(w))
     is_new = F.when(gap.isNull() | (gap != expected_interval_s), 1).otherwise(0)
     return series.withColumn("seg_id", F.sum(is_new).over(w))
+
+
+def counter_increase(
+    series: DataFrame, interval: str = "1 hour", value_col: str = "value"
+) -> DataFrame:
+    """Monotonic-counter increase per bucket with reset handling
+    (the Prometheus/Timescale ``increase()`` semantics): per adjacent
+    sample pair, delta = v - lag(v) when non-negative, else v (the
+    counter restarted at ~0 and climbed back to v).  One window pass +
+    one aggregation — no self-join.
+
+    Output: (conv_id, metric, bucket_ts, increase, n_samples).
+    """
+    w = Window.partitionBy(*KEYS).orderBy("bucket_ts")
+    prev = F.lag(value_col).over(w)
+    delta = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(F.col(value_col) >= prev, F.col(value_col) - prev).otherwise(
+            F.col(value_col)
+        )
+    )
+    return (
+        series.withColumn("_d", delta)
+        .groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
+        .agg(
+            F.round(F.sum("_d"), 4).alias("increase"),
+            F.count(value_col).alias("n_samples"),
+        )
+        .select(*KEYS, F.col("w.start").alias("bucket_ts"), "increase", "n_samples")
+    )
