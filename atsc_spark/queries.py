@@ -1033,6 +1033,77 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_histogram_cascade(spark, sf_dir):
+    """Composable histogram continuous aggregate, graded through the
+    COMPOSE path: 1h fixed-bin histograms merged (elementwise array
+    sum) into 1d, then exploded flat.  The oracle computes the 1d
+    histogram DIRECTLY — so the query proves merge(rollup(1h)) ==
+    direct(1d), the property that makes sketch rollups trustworthy in
+    a cascade."""
+    from .rollup import histogram_merge, histogram_rollup
+
+    series = _events_series(spark, sf_dir)
+    h1h = histogram_rollup(series, "1 hour", lo=0.0, hi=100.0, bins=16)
+    h1d = histogram_merge(h1h, "1 day")
+    return h1d.select(
+        F.col("conv_id").alias("event_type"),
+        "bucket_ts",
+        F.posexplode("hist").alias("bin", "cnt"),
+    )
+
+
+SQL_HISTOGRAM_CASCADE = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, sum(value) AS v
+  FROM events GROUP BY 1, 2
+), binned AS (
+  SELECT event_type, date_trunc('day', bt) AS bucket_ts,
+         least(15, greatest(0, CAST(floor((v - 0.0) / 6.25) AS INT))) AS bin
+  FROM b
+), groups AS (
+  SELECT DISTINCT event_type, bucket_ts FROM binned
+), dense AS (
+  SELECT g.event_type, g.bucket_ts, gs.bin
+  FROM groups g, LATERAL (SELECT unnest(generate_series(0, 15)) AS bin) gs
+)
+SELECT d.event_type, d.bucket_ts, CAST(d.bin AS INT) AS bin,
+       CAST(count(binned.bin) AS BIGINT) AS cnt
+FROM dense d
+LEFT JOIN binned ON binned.event_type = d.event_type
+               AND binned.bucket_ts = d.bucket_ts AND binned.bin = d.bin
+GROUP BY 1, 2, 3
+"""
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly signal over the trailing 60 samples
+    (exclusive of the current row)."""
+    from .rollup import rolling_zscore
+
+    return rolling_zscore(_rounded_series(spark, sf_dir), window_rows=60).select(
+        F.col("conv_id").alias("event_type"), "bucket_ts", "value", "zscore"
+    )
+
+
+SQL_ROLLING_ZSCORE = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket_ts, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket_ts, v,
+         avg(v) OVER win AS m,
+         stddev_samp(v) OVER win AS sd,
+         count(v) OVER win AS n
+  FROM b
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ts, v AS value,
+       CASE WHEN n >= 2 AND sd > 0 THEN round((v - m) / sd, 4) END AS zscore
+FROM w
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -1051,6 +1122,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_weighted_avg": q_time_weighted_avg,
     "moving_avg": q_moving_avg,
     "counter_increase": q_counter_increase,
+    "histogram_cascade": q_histogram_cascade,
+    "rolling_zscore": q_rolling_zscore,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1094,6 +1167,8 @@ ORACLES: dict[str, str] = {
     "time_weighted_avg": SQL_TWA,
     "moving_avg": SQL_MOVING_AVG,
     "counter_increase": SQL_COUNTER_INCREASE,
+    "histogram_cascade": SQL_HISTOGRAM_CASCADE,
+    "rolling_zscore": SQL_ROLLING_ZSCORE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,
     "revenue_by_nation": SQL_REVENUE_NATION,

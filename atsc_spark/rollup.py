@@ -227,3 +227,88 @@ def counter_increase(
         )
         .select(*KEYS, F.col("w.start").alias("bucket_ts"), "increase", "n_samples")
     )
+
+
+def histogram_rollup(
+    series: DataFrame,
+    interval: str = "1 hour",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    bins: int = 16,
+    value_col: str = "value",
+) -> DataFrame:
+    """Composable histogram continuous aggregate: per bucket, fixed-bin
+    counts as an array (values clamped into [lo, hi)).  Composable by
+    construction — coarser levels just sum the arrays elementwise —
+    which is what makes approximate quantiles maintainable in a rollup
+    cascade at scale (exact percentiles don't compose).
+
+    Output: (conv_id, metric, bucket_ts, hist array<long>, n long).
+    """
+    width = (hi - lo) / bins
+    bin_idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")),
+    )
+    counts = (
+        series.withColumn("_b", bin_idx)
+        .groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"), F.col("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # assemble the dense bin array: aggregate (bin, count) pairs into a
+    # map, then read every index — no UDF, pure built-ins
+    pairs = counts.groupBy(*KEYS, "w").agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("m"),
+        F.sum("_c").alias("n"),
+    )
+    hist = F.array(
+        *[F.coalesce(F.col("m").getItem(i), F.lit(0)).cast("long") for i in range(bins)]
+    )
+    return pairs.select(
+        *KEYS, F.col("w.start").alias("bucket_ts"), hist.alias("hist"), F.col("n").cast("long").alias("n")
+    )
+
+
+def histogram_merge(hists: DataFrame, interval: str) -> DataFrame:
+    """Roll a histogram aggregate up to a coarser interval: elementwise
+    array sum (zip_with) — the compose step of the cascade."""
+    return (
+        hists.groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
+        .agg(
+            F.aggregate(
+                F.collect_list("hist"),
+                F.expr("cast(array() as array<bigint>)"),
+                lambda acc, h: F.when(F.size(acc) == 0, h).otherwise(
+                    F.zip_with(acc, h, lambda a, b: a + b)
+                ),
+            ).alias("hist"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        .select(*KEYS, F.col("w.start").alias("bucket_ts"), "hist", "n")
+    )
+
+
+def rolling_zscore(
+    series: DataFrame, window_rows: int = 60, value_col: str = "value"
+) -> DataFrame:
+    """Rolling z-score anomaly signal: (value - mean) / stddev over the
+    trailing ``window_rows`` samples (exclusive of the current row so a
+    spike can't mask itself).  One window pass, no shuffle beyond the
+    series key."""
+    w = (
+        Window.partitionBy(*KEYS)
+        .orderBy("bucket_ts")
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= 2) & (sd > 0), (F.col(value_col) - mean) / sd
+    )
+    return series.select(
+        *KEYS,
+        "bucket_ts",
+        F.col(value_col).alias("value"),
+        F.round(z, 4).alias("zscore"),
+    )
