@@ -42,6 +42,11 @@ def uvarints_vec_with_lens(values) -> tuple[bytes, "np.ndarray"]:
     v = np.asarray(values, dtype=np.uint64)
     if len(v) == 0:
         return b"", np.empty(0, dtype=np.int64)
+    if v.max() < 251:
+        # fast path: every value is a single-byte varint (true for all
+        # RLE indices/counts of frames up to 251 samples — the common
+        # transcript series-day case)
+        return v.astype(np.uint8).tobytes(), np.ones(len(v), dtype=np.int64)
     lens = np.select(
         [v < 251, v <= 0xFFFF, v <= 0xFFFFFFFF], [1, 3, 5], default=9
     ).astype(np.int64)

@@ -64,8 +64,11 @@ def catmull_rom_decode(
     seg = np.clip(seg, 0, n_keys - 2)
     p_lo = positions[seg].astype(np.float64)
     p_hi = positions[seg + 1].astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        nt = np.where(p_hi > p_lo, (t - p_lo) / (p_hi - p_lo), 0.0)
+    # masked divide instead of errstate: this runs once per bounded-fit
+    # iteration and the errstate context alone costs ~13 us
+    nt = np.divide(
+        t - p_lo, p_hi - p_lo, out=np.zeros_like(t), where=p_hi > p_lo
+    )
 
     v0 = values[seg]
     v1 = values[seg + 1]
