@@ -54,10 +54,11 @@ def error_mape(original, generated) -> float:
     _check(o, g)
     diff = np.abs(g - o)
     nz = o != 0.0
+    if nz.all():  # common case: plain division, no special values
+        return float(np.sum(diff / np.abs(o)) / len(o))
     # 0/0 -> NaN, x/0 -> inf, exactly like unguarded IEEE division
     out = np.divide(diff, np.abs(o), out=np.full_like(diff, np.nan), where=nz)
-    if not nz.all():
-        out[~nz & (diff > 0)] = np.inf
+    out[~nz & (diff > 0)] = np.inf
     return float(np.sum(out) / len(o))
 
 

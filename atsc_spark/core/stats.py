@@ -64,10 +64,13 @@ def data_stats(data: np.ndarray) -> DataStats:
     strict ``>``/``<`` comparisons during its forward walk.
     """
     v = np.asarray(data, dtype=np.float64)
-    vmin = float(v.min())
-    vmax = float(v.max())
-    min_loc = int(np.argmax(v == vmin))
-    max_loc = int(np.argmax(v == vmax))
+    # argmin/argmax return the FIRST extremum, same tie rule as the
+    # reference's strict-comparison walk; one pass each instead of
+    # min + equality-scan + argmax
+    min_loc = int(np.argmin(v))
+    max_loc = int(np.argmax(v))
+    vmin = float(v[min_loc])
+    vmax = float(v[max_loc])
     mean = float(v.mean())
     fractional = bool(np.any(np.modf(v)[0] != 0.0))
     bitdepth = F64

@@ -126,3 +126,76 @@ def test_gorilla_xor_adversarial_bit_patterns(raws):
     v = np.asarray(raws, dtype=np.uint64).view(np.float64)
     out = xor_decode(xor_encode(v))
     assert out.view(np.uint64).tolist() == v.view(np.uint64).tolist()
+
+
+def _fft_bounded_sequential(data, max_err):
+    """The reference's literal iteration loop (`fft.rs:288-362`) — the
+    batched compress_bounded must match it exactly."""
+    from atsc_spark.core.fft import FFTFrame, fft_trim, gibbs_sizing, _ifft_real, _round_clamp
+    from atsc_spark.core.errors import calculate_error
+    from atsc_spark.core.utils import rust_f64_as_i32
+
+    f = FFTFrame(np.min(data), np.max(data))
+    if f.max == f.min:
+        return f
+    max_freq = max(3, len(data) // 100)
+    g = gibbs_sizing(np.asarray(data, float)) if len(data) >= 128 else np.asarray(data, float)
+    buf = np.fft.fft(g)
+    half = buf[: len(buf) // 2 + 1].astype(np.complex64)
+    order = np.argsort(-np.abs(half).astype(np.float64), kind="stable")
+    err = max_err + 1.0
+    jump, it = 0, 0
+    while rust_f64_as_i32(max_err * 1000.0) < rust_f64_as_i32(err * 1000.0):
+        it += 1
+        f.freqs = fft_trim(half, max_freq + jump, order=order)
+        out = _round_clamp(_ifft_real(f.freqs, len(g)), f.min, f.max)
+        err = calculate_error(g, out)
+        if 1 <= it <= 17:
+            jump += max(max_freq // 2, 1)
+        elif 18 <= it <= 22:
+            jump += max(max_freq // 10, 1)
+        else:
+            break
+    f.error = err
+    return f
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=8, max_size=400
+    ),
+    st.sampled_from([0.01, 0.03, 0.1]),
+)
+@settings(max_examples=60, deadline=None)
+def test_fft_batched_equals_sequential(vals, max_err):
+    """The batched schedule evaluation must reproduce the sequential
+    reference loop bit-for-bit: same selected budget, same payload
+    bytes, same reported error (incl. NaN/inf cases from zeros)."""
+    from atsc_spark.core.fft import FFTFrame
+
+    data = np.asarray(vals, dtype=np.float64)
+    batched = FFTFrame(data.min(), data.max())
+    batched.compress_bounded(data, max_err)
+    seq = _fft_bounded_sequential(data, max_err)
+    assert batched.to_bytes() == seq.to_bytes()
+    be, se = batched.error, seq.error
+    assert (be == se) or (np.isnan(be) and np.isnan(se)), (be, se)
+
+
+def test_fft_batched_equals_sequential_structured():
+    from atsc_spark.core.fft import FFTFrame
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.round(np.cumsum(rng.normal(0, 1, 300)) + 50, 2),        # random walk
+        50 + 20 * np.sin(np.arange(256) / 10) + rng.normal(0, 3, 256),  # periodic+noise
+        rng.poisson(2.0, 150).astype(np.float64),                  # counts w/ zeros
+        np.round(rng.normal(100, 4, 4096), 2),                     # big gibbs-padded
+        np.repeat([5.0, 9.0, 2.0], 50),                            # steps
+    ]
+    for i, data in enumerate(cases):
+        for max_err in (0.01, 0.03):
+            b = FFTFrame(data.min(), data.max()); b.compress_bounded(data, max_err)
+            s = _fft_bounded_sequential(data, max_err)
+            assert b.to_bytes() == s.to_bytes(), (i, max_err)
+            assert (b.error == s.error) or (np.isnan(b.error) and np.isnan(s.error)), (i, max_err)
