@@ -58,6 +58,9 @@ def catmull_rom_decode(
     0 < i <= n_keys - 3, else Linear (`polynomial.rs:342-373`).
     """
     n_keys = len(positions)
+    if n_keys == frame_size:
+        # every sample is a key: the spline passes through keys exactly
+        return round_and_limit(np.asarray(values, dtype=np.float64), vmin, vmax, DECIMAL_PRECISION)
     t = np.arange(frame_size, dtype=np.float64)
     # segment index for each sample: last key j with positions[j] <= t
     seg = np.searchsorted(positions, t, side="right") - 1
@@ -170,6 +173,13 @@ class PolynomialFrame:
         while target < round_f64(current_err, 4):
             iterations += 1
             self.compress_hinted(data, baseline + jump)
+            if len(self.values) == n:
+                # store-all: the loop always ends here with error forced
+                # to 0, so the spline evaluation + MAPE of this (largest)
+                # iteration are dead work — skip them.  Identical to the
+                # reference's outcome (`polynomial.rs:262-268`).
+                current_err = 0.0
+                break
             out = self._decode(n)
             current_err = calculate_error(data, out)
             if 1 <= iterations <= 17:
@@ -181,9 +191,6 @@ class PolynomialFrame:
             else:
                 # bound unreachable: store everything, error becomes 0
                 self.compress_hinted(data, n)
-                current_err = 0.0
-                break
-            if len(self.values) == n:
                 current_err = 0.0
                 break
         self.error = current_err
