@@ -100,13 +100,23 @@ def rle_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
     w = Writer()
     w.u8(RLE_ID)
     w.enum(stats.bitdepth)
-    # group consecutive equal bit-patterns after the (stable) sort:
-    # np.unique sorts ascending by u64 — same order as BTreeMap<u64>;
-    # stability keeps each value's start indices in ascending order,
-    # matching the reference's append-in-encounter-order.
-    uniq_bits, first_idx, group_counts = np.unique(
-        bits[order], return_index=True, return_counts=True
-    )
+    # group consecutive equal bit-patterns after the (stable) sort —
+    # ascending u64 order, same as BTreeMap<u64>; stability keeps each
+    # value's start indices ascending, matching the reference's
+    # append-in-encounter-order.  Boundary detection on the already-
+    # sorted array instead of np.unique (which would sort AGAIN).
+    sorted_bits = bits[order]
+    if len(sorted_bits):
+        is_first = np.empty(len(sorted_bits), dtype=bool)
+        is_first[0] = True
+        is_first[1:] = sorted_bits[1:] != sorted_bits[:-1]
+        first_idx = np.flatnonzero(is_first)
+        uniq_bits = sorted_bits[first_idx]
+        group_counts = np.diff(np.append(first_idx, len(sorted_bits)))
+    else:
+        uniq_bits = sorted_bits
+        first_idx = np.empty(0, dtype=np.int64)
+        group_counts = np.empty(0, dtype=np.int64)
     w.vec_len(len(uniq_bits))
     sorted_starts = starts[order]
 
