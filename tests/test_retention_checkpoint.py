@@ -226,3 +226,42 @@ def test_checkpoint_resume_no_duplicates(spark, series, tmp_path):
     # exactly one row per (key, metric)
     dup = after.groupBy("partition_key", "metric").count().filter("count > 1")
     assert dup.count() == 0
+
+
+def test_retention_lossy_tier_to_rollup(spark, series, tmp_path):
+    """The deepest transition: frames (tier2) age into rollup-only —
+    decoded frame values feed the 1h aggregate, and the frames
+    partition is dropped."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store6"),
+        TierPolicy(t0_days=0, t1_days=0, t2_days=0, t3_days=10000),
+    )
+    store.write_raw(series)
+    moves = store.retention_pass(date(2024, 6, 1))
+    assert all(t == "tier2" for _, t in moves)
+
+    store.policy = TierPolicy(t0_days=0, t1_days=0, t2_days=0, t3_days=0)
+    moves = store.retention_pass(date(2030, 1, 1))
+    assert moves and all(t == "rollup" for _, t in moves)
+    assert store.tier_days("tier2") == []
+    r = store.read_rollup()
+    assert r is not None and r.count() > 0
+    # aggregates come from the <=3%-error decoded values: counts exact,
+    # sums within the bound
+    from atsc_spark.rollup import rollup
+
+    expect = rollup(series, "1 hour").toPandas().sort_values(
+        ["conv_id", "metric", "bucket_ts"]
+    ).reset_index(drop=True)
+    got = (
+        r.select(expect.columns.tolist()).toPandas()
+        .sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    assert (got["cnt"].to_numpy() == expect["cnt"].to_numpy()).all()
+    import numpy as np
+
+    e, g = expect["sum"].to_numpy(), got["sum"].to_numpy()
+    nz = e != 0
+    assert np.abs((g[nz] - e[nz]) / e[nz]).max() <= 0.04  # 3% bound + slack
