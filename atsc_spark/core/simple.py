@@ -141,12 +141,28 @@ def rle_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
     cnt_bytes, cnt_lens = _uvarints_with_lens(group_counts)
     cnt_offs = np.concatenate([[0], np.cumsum(cnt_lens)[:-1]]).astype(np.int64)
 
-    parts = [w.bytes()]
-    for i in range(len(uniq_bits)):
-        parts.append(val_bytes[val_offs[i] : val_offs[i] + val_lens[i]])
-        parts.append(cnt_bytes[cnt_offs[i] : cnt_offs[i] + cnt_lens[i]])
-        parts.append(idx_bytes[idx_offs[i] : idx_offs[i] + idx_spans[i]])
-    return b"".join(parts), 0.0
+    n_groups = len(uniq_bits)
+    if n_groups == 0:
+        return w.bytes(), 0.0
+    # interleave the three per-group streams (value|count|indices) with
+    # one vectorized ragged gather instead of 3n slice+append ops
+    big = np.frombuffer(val_bytes + cnt_bytes + idx_bytes, dtype=np.uint8)
+    base_cnt = len(val_bytes)
+    base_idx = base_cnt + len(cnt_bytes)
+    starts = np.empty(3 * n_groups, dtype=np.int64)
+    lens = np.empty(3 * n_groups, dtype=np.int64)
+    starts[0::3], lens[0::3] = val_offs, val_lens
+    starts[1::3], lens[1::3] = cnt_offs + base_cnt, cnt_lens
+    starts[2::3], lens[2::3] = idx_offs + base_idx, idx_spans
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    total = int(lens.sum())
+    delta = np.ones(total, dtype=np.int64)
+    delta[0] = starts[0]
+    firsts = np.cumsum(lens)[:-1]
+    delta[firsts] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    gidx = np.cumsum(delta)
+    return w.bytes() + big[gidx].tobytes(), 0.0
 
 
 def _varint_steps(payload: bytes) -> bytes:
