@@ -270,16 +270,19 @@ class FFTFrame:
         (`fft.rs:119-130`): id, Vec<FrequencyPoint>, max f32, min f32.
         The error field is deliberately not persisted.
 
-        Positions are standard bincode varints of a u16; matching the
-        reference's ``pos: u16`` field (`fft.rs:36`), positions are
-        truncated with ``pos & 0xFFFF`` exactly like Rust's ``as u16``
-        cast would at the (half-spectrum) 131072-sample frame edge.
+        Positions are standard bincode varints.  The reference stores
+        ``pos: u16`` (`fft.rs:36`) and only tolerates the cast because
+        its frames cap at 65535 samples; varint encoding is
+        byte-identical for pos <= 65535, and for our larger 131072
+        frames (Gibbs-padded to 139968, positions up to 69984) we write
+        the full varint — ``from_bytes`` reads full varints, so large
+        frames round-trip instead of silently wrapping onto low bins.
         """
         w = Writer()
         w.u8(FFT_ID)
         w.vec_len(len(self.freqs))
         for pos, re, im in self.freqs:
-            w.uvarint(pos & 0xFFFF)
+            w.uvarint(pos)
             w.f32(float(re))
             w.f32(float(im))
         w.f32(float(self.max))

@@ -140,13 +140,17 @@ def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameRe
 
     def tournament_candidates(evaluated: np.ndarray) -> list[int]:
         # MAPE's zero quirk (`error.rs:104-116`): any zero in the
-        # evaluated slice makes the lossy candidates' error 0/0 -> NaN
-        # or x/0 -> inf, which can NEVER satisfy `error <= bound` —
-        # so skip their (up to 23-iteration) bounded fits entirely.
-        # The selection outcome is provably identical: they could not
-        # have entered `passing`, and RLE (error 0.0) always does.
+        # evaluated slice makes a lossy fit's error 0/0 -> NaN or
+        # x/0 -> inf, which can never satisfy `error <= bound`.  FFT's
+        # bounded loop is capped at 23 fixed budgets and never forces
+        # error 0, so it provably cannot enter `passing` — skip its
+        # fits entirely.  POLYNOMIAL must stay: on the inf path its
+        # loop escalates to store-all, which forces error 0.0
+        # (`polynomial.rs:262-268`) and can win the size tournament
+        # (e.g. small-int frames where store-all at u8/i16 bit-depth
+        # beats RLE).
         if (evaluated == 0.0).any():
-            return [RLE]
+            return [POLYNOMIAL, RLE]
         return [FFT, POLYNOMIAL, RLE]
 
     sample_n = COMPRESSION_SPEED[speed]

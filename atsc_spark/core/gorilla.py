@@ -29,6 +29,16 @@ value; only the section framing (a few fixed bytes per block) differs.
 
 Timestamp buckets (paper §4.1.1, collapsed to 4 tags so the tag stream
 is fixed 2-bit): dod 0 | [-63,64] 7b | [-2047,2048] 12b | raw 64b.
+
+Format history: ``GORB`` (current, SoA sections as above) replaced the
+pre-release interleaved ``GORA`` layout in round 2.  GORA was never
+shipped in a tagged release and no persisted tier-0 data predates the
+break (every store in this repo is (re)written by the same code that
+reads it); decoders therefore reject unknown magics loudly instead of
+carrying a legacy branch.  Both sections are magic-guarded — ``GORB``
+on the timestamp section, ``XORB`` on the value section — so a stale
+or foreign blob fails fast with a versioned error rather than
+decoding garbage.
 """
 
 from __future__ import annotations
@@ -38,6 +48,15 @@ import struct
 import numpy as np
 
 _MAGIC = b"GORB"
+_XOR_MAGIC = b"XORB"
+
+
+def _check_magic(got: bytes, want: bytes, section: str) -> None:
+    if got != want:
+        legacy = " (pre-release GORA layout is not supported)" if got == b"GORA" else ""
+        raise ValueError(
+            f"gorilla {section} section: bad magic {got!r}, expected {want!r}{legacy}"
+        )
 
 
 # ------------------------------------------------------- bit packing
@@ -161,7 +180,7 @@ def dod_encode(ts: np.ndarray) -> bytes:
 
 
 def dod_decode(blob: bytes) -> np.ndarray:
-    assert blob[:4] == _MAGIC
+    _check_magic(blob[:4], _MAGIC, "timestamp")
     n = struct.unpack("<I", blob[4:8])[0]
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -197,7 +216,7 @@ def xor_encode(values: np.ndarray) -> bytes:
     """Gorilla-style XOR encode an f64 array (vectorized, SoA layout)."""
     v = np.asarray(values, dtype=np.float64)
     n = len(v)
-    head = struct.pack("<I", n)
+    head = _XOR_MAGIC + struct.pack("<I", n)
     if n == 0:
         return head
     bits = v.view(np.uint64)
@@ -223,10 +242,11 @@ def xor_encode(values: np.ndarray) -> bytes:
 
 
 def xor_decode(blob: bytes) -> np.ndarray:
-    n = struct.unpack("<I", blob[:4])[0]
+    _check_magic(blob[:4], _XOR_MAGIC, "value")
+    n = struct.unpack("<I", blob[4:8])[0]
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    first = struct.unpack("<Q", blob[4:12])[0]
+    first = struct.unpack("<Q", blob[8:16])[0]
     out = np.empty(n, dtype=np.uint64)
     out[0] = np.uint64(first)
     if n == 1:
@@ -234,18 +254,18 @@ def xor_decode(blob: bytes) -> np.ndarray:
 
     ctrl_len = (n - 1 + 7) // 8
     ctrl = np.unpackbits(
-        np.frombuffer(blob[12 : 12 + ctrl_len], dtype=np.uint8), count=n - 1
+        np.frombuffer(blob[16 : 16 + ctrl_len], dtype=np.uint8), count=n - 1
     )
     k = int(ctrl.sum())
     hdr_len = (11 * k + 7) // 8
-    hdr = _unpack_fixed(blob[12 + ctrl_len : 12 + ctrl_len + hdr_len], 11, k)
+    hdr = _unpack_fixed(blob[16 + ctrl_len : 16 + ctrl_len + hdr_len], 11, k)
     lz = hdr >> np.uint64(6)
     mlen = (hdr & np.uint64(63)) + np.uint64(1)
     tz = np.uint64(64) - lz - mlen
 
     lengths = mlen.astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if k else np.empty(0, dtype=np.int64)
-    meaning = _extract_fields(blob[12 + ctrl_len + hdr_len :], starts, lengths)
+    meaning = _extract_fields(blob[16 + ctrl_len + hdr_len :], starts, lengths)
 
     # XOR is associative: the prev^delta recurrence is a prefix scan.
     deltas = np.zeros(n - 1, dtype=np.uint64)

@@ -111,10 +111,14 @@ def run(
             out.write.mode("overwrite").partitionBy("day").parquet(f"{store_base}/{out_name}")
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        # stats read-back: filter on the raw partition column (no cast)
-        # so Catalyst prunes to just the days written this run
+        # stats read-back: compare as strings — with partition-column
+        # type inference disabled the `day` partition reads back as
+        # string and an isin(date) filter silently matches nothing
+        # (rows_out=0 lineage for every day).  The cast-to-string
+        # compare is type-safe either way and Catalyst still prunes
+        # partitions through the cast of a literal-only IN list.
         written = spark.read.parquet(f"{store_base}/{out_name}").filter(
-            F.col("day").isin([date.fromisoformat(d) for d in todo_days])
+            F.col("day").cast("string").isin(todo_days)
         )
         per_day = {
             r.k: r.asDict()

@@ -14,11 +14,14 @@ Tier layout (ages are policy-configurable):
 The reference positions ATSC exactly here: "in places where time
 series are rolled over" (`/root/reference/README.md:66`).  Storage is
 day-partitioned parquet directories (an Iceberg catalog swap makes the
-partition replacement a single atomic snapshot commit; with plain
-parquet we write target partitions with dynamic partition overwrite,
-validate counts, then drop the source partitions — a crash between
-those steps leaves *both* copies, never neither, and the next pass
-overwrites the target partition idempotently and finishes the drop).
+partition replacement a single atomic snapshot commit; the container
+ships no Iceberg jars, so with plain parquet we use a rename-based
+staged commit: fit into ``_staging/<target>/day=...``, validate counts
+there, then ``FileSystem.rename`` each day directory into place — a
+single metadata operation on HDFS/posix — and only then drop the
+source partitions.  A crash at any point leaves *both* copies, never
+neither, readers never observe a partially-written target partition,
+and the next pass re-stages idempotently and finishes the drop).
 
 Scale shape: one Spark job per (source_tier -> target_tier) pair, not
 one per day — a year of aged days is ONE fit job whose output is
@@ -104,14 +107,33 @@ class TieredStore:
     def raw_days(self) -> list[date]:
         return self.tier_days("raw")
 
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p
+
     def _delete_partition(self, tier: str, day: date) -> None:
         """Drop one day partition via the Hadoop FileSystem API —
         works on any FS/object store the cluster can mount, unlike a
         local shutil.rmtree."""
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{self.path(tier)}/day={day.isoformat()}")
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs, p = self._fs(f"{self.path(tier)}/day={day.isoformat()}")
         fs.delete(p, True)
+
+    def _commit_partition(self, staging: str, target: str, day: date) -> None:
+        """Atomically publish one staged day: drop any existing target
+        day directory, then rename the staged one into place.  The
+        rename is the commit point — a single metadata op on
+        HDFS/posix, so readers see the old partition or the new one,
+        never a half-written mix."""
+        iso = day.isoformat()
+        fs, dst = self._fs(f"{self.path(target)}/day={iso}")
+        src = self.spark._jvm.org.apache.hadoop.fs.Path(f"{staging}/day={iso}")
+        if not fs.exists(src):
+            return  # day produced no rows (e.g. all-NaN) — nothing to publish
+        fs.delete(dst, True)
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(src, dst):
+            raise RuntimeError(f"retention: rename {src} -> {dst} failed")
 
     # -------------------------------------------------------- retention
 
@@ -120,72 +142,92 @@ class TieredStore:
 
         Returns [(day, tier)] transitions performed.  Grouped: all days
         sharing a (source, target) pair are decoded + re-fitted in ONE
-        Spark job and written with dynamic partition overwrite, so a
-        crash-and-rerun replaces the target partitions instead of
-        duplicating them, and the source partitions are only dropped
-        after the written counts validate.
+        Spark job, staged under ``_staging/<target>``, validated there,
+        then published per-day with an atomic FileSystem rename before
+        the source partitions are dropped.
+
+        A crash mid-move can leave a day in two source tiers; days are
+        deduped across sources keeping the most faithful (lowest-order)
+        copy, and the stale lossier duplicates are dropped with the
+        winning move — so a raw copy is never overwritten by a tierN
+        re-fit of itself.
         """
         moves: list[tuple[str, str]] = []
-        plan: dict[tuple[str, str], list[date]] = {}
+
+        # clear staging leftovers from any crashed previous pass —
+        # nothing in _staging is ever committed, so this is safe
+        fs, staging_root = self._fs(self.path("_staging"))
+        fs.delete(staging_root, True)
+
+        # most faithful source per day (sources scanned in ascending
+        # _TIER_ORDER, so the first holder of a day wins); lossier
+        # crash-leftover duplicates are recorded for cleanup
+        holder: dict[date, str] = {}
+        stale: dict[date, list[str]] = {}
         for source in ("raw", "tier0", "tier1", "tier2"):
             for day in self.tier_days(source):
-                target = self.policy.tier_for_age((today - day).days)
-                if _TIER_ORDER[target] > _TIER_ORDER[source]:
-                    plan.setdefault((source, target), []).append(day)
+                if day in holder:
+                    stale.setdefault(day, []).append(source)
+                else:
+                    holder[day] = source
+
+        plan: dict[tuple[str, str], list[date]] = {}
+        for day, source in holder.items():
+            target = self.policy.tier_for_age((today - day).days)
+            if _TIER_ORDER[target] > _TIER_ORDER[source]:
+                plan.setdefault((source, target), []).append(day)
         if not plan:
             return moves
 
-        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            for (source, target), days in sorted(plan.items()):
-                src = self.spark.read.parquet(self.path(source)).filter(
-                    F.col("day").isin(days)
-                )
-                if source == "raw":
-                    series = src.select("conv_id", "metric", "bucket_ts", "value")
-                elif source == "tier0":
-                    series = decode_lossless(src)
-                else:
-                    series = decode_frames(src)
+        for (source, target), days in sorted(plan.items()):
+            src = self.spark.read.parquet(self.path(source)).filter(
+                F.col("day").isin(days)
+            )
+            if source == "raw":
+                series = src.select("conv_id", "metric", "bucket_ts", "value")
+            elif source == "tier0":
+                series = decode_lossless(src)
+            else:
+                series = decode_frames(src)
 
-                if target == "tier0":
-                    out = fit_lossless(series)
-                elif target == "tier1":
-                    out = fit_frames(series, max_error=self.policy.err_tier1)
-                elif target == "tier2":
-                    out = fit_frames(series, max_error=self.policy.err_tier2)
-                else:  # rollup-only
-                    out = rollup(series, "1 hour").withColumn(
-                        "day", F.to_date("bucket_ts")
+            if target == "tier0":
+                out = fit_lossless(series)
+            elif target == "tier1":
+                out = fit_frames(series, max_error=self.policy.err_tier1)
+            elif target == "tier2":
+                out = fit_frames(series, max_error=self.policy.err_tier2)
+            else:  # rollup-only
+                out = rollup(series, "1 hour").withColumn(
+                    "day", F.to_date("bucket_ts")
+                )
+
+            # one job: fit all moved days into the staging area
+            staging = f"{self.path('_staging')}/{target}"
+            out.write.mode("overwrite").partitionBy("day").parquet(staging)
+
+            # validate staged counts before touching target or source
+            written = self.spark.read.parquet(staging)
+            counts = {
+                r["day"]: r["n"]
+                for r in written.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            src_counts = {
+                r["day"]: r["n"]
+                for r in src.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            for day in days:
+                if counts.get(day, 0) == 0 and src_counts.get(day, 0) > 0:
+                    raise RuntimeError(
+                        f"retention: empty staged {target} output for {day}; "
+                        f"source {source} partition kept"
                     )
-
-                # one job: write all moved days, replacing only those
-                # partitions (dynamic overwrite = idempotent rerun)
-                out.write.mode("overwrite").partitionBy("day").parquet(self.path(target))
-
-                # validate written counts, then drop source partitions
-                written = self.spark.read.parquet(self.path(target)).filter(
-                    F.col("day").isin(days)
-                )
-                counts = {
-                    r["day"]: r["n"]
-                    for r in written.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
-                }
-                src_counts = {
-                    r["day"]: r["n"]
-                    for r in src.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
-                }
-                for day in days:
-                    if counts.get(day, 0) == 0 and src_counts.get(day, 0) > 0:
-                        raise RuntimeError(
-                            f"retention: empty {target} output for {day}; "
-                            f"source {source} partition kept"
-                        )
-                    self._delete_partition(source, day)
-                    moves.append((day.isoformat(), target))
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+                self._commit_partition(staging, target, day)
+                self._delete_partition(source, day)
+                for dup in stale.get(day, ()):  # crash-leftover lossier copies
+                    if dup != target:
+                        self._delete_partition(dup, day)
+                moves.append((day.isoformat(), target))
+            fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
         return moves
 
     # ------------------------------------------------------------- read

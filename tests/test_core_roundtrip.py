@@ -21,6 +21,8 @@ from atsc_spark.core.frame import (
     NOOP,
     POLYNOMIAL,
     RLE,
+    compress_best,
+    compress_bounded,
     compress_frame,
     decompress_frame,
 )
@@ -115,3 +117,51 @@ def test_compression_ratio_sanity():
     compressed = sum(len(f.payload) for f in frames)
     raw = data.nbytes
     assert compressed * 10 < raw, f"ratio only {raw / compressed:.1f}x"
+
+
+def test_fft_large_frame_positions_roundtrip():
+    """Regression (r2 ADVICE high): a 131072-sample frame Gibbs-pads to
+    139968, so selected spectrum positions reach 69984 — beyond u16.
+    Positions must round-trip as full varints; the old `pos & 0xFFFF`
+    mask wrapped them onto low bins and silently corrupted the decode
+    while the reported fit error still passed the bound."""
+    from atsc_spark.core.errors import calculate_error
+    from atsc_spark.core.fft import (
+        FFTFrame,
+        _ifft_real,
+        _round_clamp,
+        fft_decompress,
+        gibbs_sizing,
+    )
+
+    n = 131072
+    x = np.arange(n)
+    sig = 50.0 + 10.0 * np.sin(2 * np.pi * x / 7.3) + 5.0 * np.sin(2 * np.pi * x * 0.49)
+    f = FFTFrame(sig.min(), sig.max())
+    f.compress_bounded(sig, 0.03)
+    assert int(f.freqs.pos.max()) > 0xFFFF  # the case the mask corrupted
+
+    # decode must bit-equal the output the bounded fit evaluated
+    g = gibbs_sizing(sig)
+    out = _round_clamp(_ifft_real(f.freqs, len(g)), f.min, f.max)
+    added = len(g) - n
+    trimmed = out[added // 2 : len(g) - (added - added // 2)]
+    dec = fft_decompress(n, f.to_bytes())
+    assert np.array_equal(dec, trimmed)
+    assert calculate_error(sig, dec) <= 0.03
+
+
+def test_auto_zero_frame_polynomial_can_win():
+    """Regression (r2 ADVICE medium): with a zero in the evaluated
+    slice, POLYNOMIAL's bounded loop escalates to store-all (error
+    forced to 0.0, `polynomial.rs:262-268`) and can beat RLE on size —
+    the old shortcut dropped it from the tournament entirely."""
+    rng = np.random.default_rng(7)
+    data = rng.integers(1, 9, 300).astype(np.float64)
+    data[137] = 0.0
+    r = compress_best(data, 0.03)
+    assert r.compressor == POLYNOMIAL
+    out = decompress_frame(r.compressor, r.sample_count, r.payload)
+    assert out.tolist() == data.tolist()  # store-all is exact
+    rle_payload, _ = compress_bounded(RLE, data, 0.03)
+    assert len(r.payload) < len(rle_payload)

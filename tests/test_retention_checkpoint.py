@@ -265,3 +265,111 @@ def test_retention_lossy_tier_to_rollup(spark, series, tmp_path):
     e, g = expect["sum"].to_numpy(), got["sum"].to_numpy()
     nz = e != 0
     assert np.abs((g[nz] - e[nz]) / e[nz]).max() <= 0.04  # 3% bound + slack
+
+
+def test_retention_dedupes_days_across_source_tiers(spark, series, tmp_path):
+    """Regression (r2 ADVICE low): a crash can leave a day in two
+    source tiers.  The pass must fit from the most faithful copy (raw
+    beats tierN) and drop the stale lossier duplicate — previously both
+    moves ran and the lossy re-fit overwrote the faithful output."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store_dup"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    n = series.count()
+
+    # simulate the crash: day moved into tier0 but raw copy not dropped
+    real_delete = store._delete_partition
+    store._delete_partition = lambda tier, day: None
+    store.retention_pass(date(2024, 3, 1))
+    store._delete_partition = real_delete
+    assert store.tier_days("raw") != [] and store.tier_days("tier0") != []
+
+    # now the day has aged past tier0: both raw and tier0 hold it
+    store.policy = TierPolicy(t0_days=0, t1_days=0, t2_days=20000, t3_days=30000)
+    moves = store.retention_pass(date(2024, 3, 2))
+    assert moves and all(t == "tier1" for _, t in moves)
+    # both stale sources are gone, exactly one tier1 copy exists
+    assert store.tier_days("raw") == []
+    assert store.tier_days("tier0") == []
+    back = store.read_series()
+    assert back.count() == n
+    # tier1 bound (1%) holds — proof the fit ran from the raw copy
+    # (a tier0 source would also satisfy this; the no-duplicates count
+    # above is what pins the dedupe behavior)
+    a = series.toPandas().sort_values(["conv_id", "metric", "bucket_ts"])
+    b = back.toPandas().sort_values(["conv_id", "metric", "bucket_ts"])
+    o, g = a["value"].to_numpy(), b["value"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mape = np.nanmean(np.abs((g - o) / o))
+    assert mape <= 0.01 + 1e-9
+
+
+def test_retention_crash_injection_every_step(spark, series, tmp_path):
+    """Staged-commit crash matrix: kill the pass (a) after staging but
+    before any commit, (b) after commit but before the source drop.
+    Every intermediate state must still serve all n samples exactly
+    once after a final clean pass (no loss, no duplicates)."""
+    n = series.count()
+
+    # (a) crash before the first commit: target untouched, source intact
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store_crash_commit"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    real_commit = store._commit_partition
+
+    def exploding_commit(staging, target, day):
+        raise RuntimeError("crash before commit")
+
+    store._commit_partition = exploding_commit
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        store.retention_pass(date(2024, 3, 1))
+    assert store.tier_days("raw") != []  # source untouched
+    assert store.tier_days("tier0") == []  # nothing half-published
+    assert store.read_series().count() == n
+    store._commit_partition = real_commit
+    assert store.retention_pass(date(2024, 3, 1))
+    assert store.tier_days("raw") == []
+    assert store.read_series().count() == n
+
+    # (b) crash after commit, before drop: both copies exist (never
+    # neither); rerun dedupes and finishes
+    store2 = TieredStore(
+        spark,
+        str(tmp_path / "store_crash_drop"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store2.write_raw(series)
+    real_delete = store2._delete_partition
+
+    def exploding_delete(tier, day):
+        raise RuntimeError("crash before drop")
+
+    store2._delete_partition = exploding_delete
+    with pytest.raises(RuntimeError, match="crash before drop"):
+        store2.retention_pass(date(2024, 3, 1))
+    assert store2.tier_days("raw") != [] and store2.tier_days("tier0") != []
+    store2._delete_partition = real_delete
+    assert store2.retention_pass(date(2024, 3, 1))
+    assert store2.tier_days("raw") == []
+    assert store2.read_series().count() == n
+
+
+def test_gorilla_magic_guards():
+    """Stale/foreign blobs fail fast with a versioned error instead of
+    decoding garbage (r2 ADVICE low: GORA->GORB format break)."""
+    from atsc_spark.core.gorilla import dod_decode, dod_encode, xor_decode, xor_encode
+
+    ts = np.arange(0, 1000, 10, dtype=np.int64)
+    vals = np.round(np.sin(np.arange(100.0)), 3)
+    assert np.array_equal(dod_decode(dod_encode(ts)), ts)
+    assert np.array_equal(xor_decode(xor_encode(vals)), vals)
+    with pytest.raises(ValueError, match="GORA layout is not supported"):
+        dod_decode(b"GORA" + dod_encode(ts)[4:])
+    with pytest.raises(ValueError, match="value section: bad magic"):
+        xor_decode(b"NOPE" + xor_encode(vals)[4:])
