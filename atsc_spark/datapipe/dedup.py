@@ -46,9 +46,17 @@ def _spread(docs: DataFrame) -> DataFrame:
     """Ensure the hash-heavy projections below actually parallelize: a
     small corpus often arrives as one parquet split, and a single
     partition serializes 10^7+ JVM hash calls onto one core.  No-op
-    when the input already has enough splits (the 100 TB case)."""
+    when the input already has enough file splits (the 100 TB case).
+
+    Uses ``inputFiles()`` (pure metadata) rather than
+    ``df.rdd.getNumPartitions()``, which forces an RDD conversion of
+    the whole plan just to read a number."""
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < sc.defaultParallelism:
         return docs.repartition(sc.defaultParallelism)
     return docs
 
@@ -145,9 +153,25 @@ def minhash_lsh_candidates(
     volume is proportional to candidate count, not n^2 — and buckets
     over ``max_bucket`` members are dropped (see :func:`_cap_buckets`).
     """
+    banded_plan = _banded_plan(docs, text_col, num_hashes, bands, shingle_k)
+    banded = _cap_buckets(banded_plan, ["band", "bucket"], max_bucket)
+    return _band_pairs(banded)
+
+
+def _banded_plan(
+    docs: DataFrame, text_col: str, num_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    """(doc_id, band, bucket) rows, signatures materialized once.
+
+    Spark does not share a common subplan across the two sides of a
+    self-join, so the (expensive) signature computation would run once
+    per side plus once for the join build.  localCheckpoint
+    materializes it once; at production scale this is "write the
+    signatures table, then self-join it".
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes, shingle_k)
-    banded_plan = sigs.select(
+    banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -166,15 +190,38 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    # Spark does not share a common subplan across the two sides of a
-    # self-join, so the (expensive) signature computation would run
-    # once per side plus once for the join build.  Materialize it once;
-    # at production scale this is "write the signatures table, then
-    # self-join it".
-    banded = _cap_buckets(
-        banded_plan.localCheckpoint(eager=False), ["band", "bucket"], max_bucket
-    )
-    return _band_pairs(banded)
+    return banded.localCheckpoint(eager=False)
+
+
+def lsh_scale_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+) -> dict:
+    """Candidate growth + cap truncation for one corpus, made visible.
+
+    Returns {n_docs, n_candidates, dropped_buckets, dropped_members}.
+    Run at two corpus sizes to evidence near-linear candidate growth
+    (the banded join is bounded by bucket membership, never all-pairs)
+    and that truncation by :func:`_cap_buckets` is reported, not
+    silent.
+    """
+    banded = _banded_plan(docs, text_col, num_hashes, bands, shingle_k)
+    dropped = lsh_bucket_report(banded, ["band", "bucket"], max_bucket).agg(
+        F.count(F.lit(1)).alias("buckets"), F.sum("n_members").alias("members")
+    ).collect()[0]
+    candidates = _band_pairs(
+        _cap_buckets(banded, ["band", "bucket"], max_bucket)
+    ).count()
+    return {
+        "n_docs": docs.count(),
+        "n_candidates": int(candidates),
+        "dropped_buckets": int(dropped.buckets or 0),
+        "dropped_members": int(dropped.members or 0),
+    }
 
 
 # ------------------------------------------- verifiable (md5) variants

@@ -179,3 +179,39 @@ def monitoring_series(
     return base.select(
         "conv_id", metric.alias("metric"), ts.alias("bucket_ts"), value.alias("value")
     )
+
+
+def documents_dupheavy(spark: SparkSession, n_docs: int = 100_000) -> DataFrame:
+    """Duplicate-heavy document corpus for dedup scale evidence.
+
+    Deterministic and fully JVM-side: families of 5 near-identical
+    documents (same ~190-char body, one trailing variant token), plus
+    an adversarial shared boilerplate on every 50th id — a single text
+    repeated n_docs/50 times, which lands in one LSH bucket per band
+    and must be CAPPED, not joined (the O(m^2) pattern that turns a
+    bucketed join quadratic at 10^9 docs).
+    """
+    fam = (F.col("id") / 5).cast("long")
+    member = F.pmod(F.col("id"), F.lit(5))
+    topic = F.pmod(fam * 2654435761, F.lit(997))
+    body = F.concat(
+        F.lit("conversation transcript about topic "),
+        topic.cast("string"),
+        F.lit(" where the agent calls tools and summarizes findings "),
+        F.lit("across many turns with consistent terminology and a "),
+        F.lit("stable narrative arc covering analysis of dataset "),
+        fam.cast("string"),
+        F.lit(" variant "),
+        member.cast("string"),
+    )
+    boilerplate = F.lit(
+        "standard system prompt boilerplate that every conversation "
+        "shares verbatim including safety guidelines and formatting "
+        "rules repeated identically across the entire corpus"
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod(F.col("id"), F.lit(50)) == 0, boilerplate)
+        .otherwise(body)
+        .alias("text"),
+    )

@@ -228,6 +228,8 @@ def fit_frames(
     compressor: str = "auto",
     speed: int = 0,
     num_tasks: int | None = None,
+    gap_fill: str | None = None,
+    gap_fill_interval_s: int = 60,
 ) -> DataFrame:
     """series ``(conv_id, metric, bucket_ts, value)`` -> frames table.
 
@@ -236,7 +238,18 @@ def fit_frames(
     [4096, 224].  Groups arrive as one row each with JVM-built point
     arrays (:func:`grouped_points` — see there for the Arrow-cost and
     partitioning rationale); everything inside the UDF is numpy.
+
+    ``gap_fill`` ('locf' | 'linear') regularizes the cadence on a
+    ``gap_fill_interval_s`` grid before fitting.  Irregular noisy
+    series defeat function-fitting by design (the reference assumes a
+    fixed cadence — its WAV/CSV inputs are regular); filling first
+    restores the regular-grid assumption, and the error bound applies
+    to the filled series the frames actually store.
     """
+    if gap_fill is not None:
+        from .rollup import gap_fill as _gap_fill
+
+        series = _gap_fill(series, gap_fill_interval_s, gap_fill).drop("is_filled")
     comp_id = COMPRESSOR_IDS[compressor] if isinstance(compressor, str) else compressor
     if num_tasks is None:
         num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
