@@ -133,7 +133,6 @@ def ivf_topk(
     the result exactly the brute-force answer — the graded-query
     configuration; recall at nprobe < nlist is asserted in tests).
     """
-    spark = embeddings.sparkSession
     C = (
         centroids
         if centroids is not None
@@ -141,30 +140,52 @@ def ivf_topk(
             embeddings, nlist, sample_size, kmeans_iters, id_col, vec_col, seed
         )
     )
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
-        "cent_id int, cv array<double>",
+    # The centroid matrix is a plan constant (nlist x dim doubles,
+    # 16 x 1024 x 8 = 128 KB worst case) — no broadcast join needed.
+    cmat = F.lit([[float(x) for x in row] for row in C])
+
+    def cell_scores(vec) -> F.Column:
+        """array<struct<sim, nid>> — one dot product per centroid,
+        computed as a per-row projection.  ``nid`` is the NEGATED cell
+        id so array_max's struct ordering (sim desc, then nid desc)
+        reproduces the (sim desc, cent_id asc) tie-break."""
+        return F.transform(
+            cmat,
+            lambda cv, i: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(vec, cv, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("sim"),
+                (-i).alias("nid"),
+            ),
+        )
+
+    # Corpus cell assignment is a shuffle-free argmax projection: the
+    # old formulation (crossJoin against all nlist centroids + a
+    # row_number window over neighbor_id) amplified the corpus nlist
+    # times and then shuffled the amplified rows on a high-cardinality
+    # key just to take keep=1 — at 100 TB that shuffle IS the job.
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
+    assigned = corpus.withColumn(
+        "cent_id", (-F.array_max(cell_scores(F.col("v"))).getField("nid")).cast("int")
     )
 
-    def nearest_cells(side: DataFrame, idname: str, vecname: str, keep: int) -> DataFrame:
-        j = side.crossJoin(F.broadcast(cents))
-        dot = F.expr(
-            f"aggregate(zip_with({vecname}, cv, (x, y) -> x * y),"
-            " cast(0.0 as double), (acc, x) -> acc + x)"
-        )
-        sim = F.round(dot, 6)
-        w = Window.partitionBy(idname).orderBy(F.desc("sim"), F.asc("cent_id"))
-        return (
-            j.select(idname, vecname, "cent_id", sim.alias("sim"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= keep)
-            .drop("sim", "r")
-        )
-
-    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
-    assigned = nearest_cells(corpus, "neighbor_id", "v", 1)
+    # Probe side: nprobe nearest cells for each of the (few, broadcast)
+    # queries — a per-row sort + slice + explode, still shuffle-free.
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q"))
-    probes = nearest_cells(q, "query_id", "q", nprobe)
+    probes = q.select(
+        "query_id",
+        "q",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(cell_scores(F.col("q")))), 1, nprobe)
+        ).alias("cell"),
+    ).select(
+        "query_id", "q", (-F.col("cell.nid")).cast("int").alias("cent_id")
+    )
 
     joined = assigned.join(F.broadcast(probes), "cent_id").filter(
         F.col("query_id") != F.col("neighbor_id")

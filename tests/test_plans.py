@@ -98,3 +98,17 @@ def test_rollup_cascade_single_shuffle_per_level(spark):
     r1h = rollup_cascade_step(r1m, "1 hour")
     assert n_exchanges(r1m) == base + 1
     assert n_exchanges(r1h) == base + 2
+
+
+def test_ivf_corpus_assignment_shuffle_free(spark):
+    """Corpus cell assignment must be an argmax projection over the
+    constant centroid matrix — no crossJoin row amplification, no
+    row_number window shuffle on neighbor_id (r2 VERDICT: at 100 TB
+    that shuffle IS the job).  The only Exchange in the whole IVF plan
+    is the final per-query top-k."""
+    from atsc_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)  # no-Exchange query side
+    q = ivf_topk(emb, queries, k=5, nlist=4, nprobe=4)
+    assert n_exchanges(q) == 1, "IVF plan must shuffle only for the final top-k"
