@@ -290,17 +290,55 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode_frames(frames: DataFrame) -> DataFrame:
+def decode_granularity(sel: DataFrame, source: DataFrame, num_tasks: int | None) -> DataFrame:
+    """Right-size decode task granularity for a compressed-rows input.
+
+    A fit output carries the fit's 8x-parallelism partitioning, which
+    leaves ~1 byte-light row per decode task — per-task Python-worker
+    and Arrow overhead then dominates (measured 6x on tier-0 decode:
+    0.44 vs 2.3+ Msamples/s).  Strategy by input kind:
+
+    - file-backed: untouched — parquet splits are already sized by
+      ``maxPartitionBytes`` of COMPRESSED payloads, and merging them
+      would balloon per-task decoded output at the 100 TB tier-0 read;
+    - cached: ``coalesce`` (narrow merge of cache partitions — nothing
+      upstream to collapse);
+    - lazy in-memory chain (decode(fit(...))): ``repartition`` — the
+      shuffle moves only compressed rows (tiny), and unlike coalesce it
+      does NOT propagate a lower partition count back into the
+      compute-dense fit stage.
+    """
+    if num_tasks is not None:
+        return sel.coalesce(num_tasks)
+    try:
+        if len(source.inputFiles()) > 0:
+            return sel
+    except Exception:
+        pass
+    par = source.sparkSession.sparkContext.defaultParallelism
+    if source.storageLevel.useMemory or source.storageLevel.useDisk:
+        return sel.coalesce(par)
+    return sel.repartition(par)
+
+
+def decode_frames(frames: DataFrame, num_tasks: int | None = None) -> DataFrame:
     """frames table -> ``(conv_id, metric, bucket_ts, value)``.
 
     ``mapInPandas``: zero shuffle, scales linearly with frame count.
     Mirrors `CompressedStream::decompress` + the VSRI zip
     (`data.rs:104-109`, `csv-compressor/src/metric.rs:88-98`).
+
+    Task granularity via :func:`decode_granularity`.
     """
-    decoded = frames.select(
-        "conv_id", "metric", "compressor_id", "sample_count",
-        "seg_interval", "seg_start", "seg_n", "payload",
-    ).mapInPandas(_decode_batches, DECODED_SCHEMA)
+    sel = decode_granularity(
+        frames.select(
+            "conv_id", "metric", "compressor_id", "sample_count",
+            "seg_interval", "seg_start", "seg_n", "payload",
+        ),
+        frames,
+        num_tasks,
+    )
+    decoded = sel.mapInPandas(_decode_batches, DECODED_SCHEMA)
     return decoded.select(
         "conv_id",
         "metric",

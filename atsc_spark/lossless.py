@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .core.gorilla import gorilla_decode, gorilla_encode
-from .frames import grouped_points, make_grouped_fit_fn
+from .frames import decode_granularity, grouped_points, make_grouped_fit_fn
 
 BLOCK_SCHEMA = (
     "conv_id string, metric string, day date, sample_count int, "
@@ -85,10 +85,17 @@ def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode_lossless(blocks: DataFrame) -> DataFrame:
-    decoded = blocks.select(
-        "conv_id", "metric", "sample_count", "payload"
-    ).mapInPandas(_decode, DECODED_SCHEMA)
+def decode_lossless(blocks: DataFrame, num_tasks: int | None = None) -> DataFrame:
+    """blocks -> (conv_id, metric, bucket_ts, value), shuffle-free.
+
+    Task granularity via :func:`atsc_spark.frames.decode_granularity`
+    (see there: file-backed untouched, cached coalesced, lazy chains
+    repartitioned so the upstream fit keeps its parallelism).
+    """
+    sel = decode_granularity(
+        blocks.select("conv_id", "metric", "sample_count", "payload"), blocks, num_tasks
+    )
+    decoded = sel.mapInPandas(_decode, DECODED_SCHEMA)
     return decoded.select(
         "conv_id", "metric", F.timestamp_seconds("epoch_s").alias("bucket_ts"), "value"
     )

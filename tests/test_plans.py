@@ -62,18 +62,30 @@ def test_small_dimension_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_decode_frames_is_shuffle_free(spark):
-    """Frames are self-describing, so decode must add ZERO exchanges
-    beyond what produced the frames input (here: none — frames come
-    from a parquet-free local fixture via an already-shuffled fit)."""
+def test_decode_frames_shuffle_contract(spark, tmp_path):
+    """Frames are self-describing, so decoding a file-backed frames
+    table adds ZERO exchanges (the 100 TB tier read path).  A lazy
+    decode(fit(...)) chain adds exactly ONE — the granularity
+    repartition of the (tiny, compressed) frame rows, which keeps the
+    upstream fit at full parallelism instead of letting a coalesce
+    collapse it (see frames.decode_granularity)."""
     from atsc_spark.fixtures import monitoring_series
     from atsc_spark.frames import decode_frames, fit_frames
 
     frames = fit_frames(monitoring_series(spark, n_series=4, samples_per_series=128))
     n_fit = n_exchanges(frames)
-    decoded = decode_frames(frames)
-    n_dec = n_exchanges(decoded)
-    assert n_dec == n_fit, "decode added a shuffle"
+    assert n_exchanges(decode_frames(frames)) == n_fit + 1
+
+    path = str(tmp_path / "frames_pq")
+    frames.write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert n_exchanges(decode_frames(stored)) == 0, "file-backed decode must not shuffle"
+
+    cached = frames.cache()
+    try:
+        assert n_exchanges(decode_frames(cached)) == n_fit, "cached decode must coalesce, not shuffle"
+    finally:
+        cached.unpersist()
 
 
 def test_fit_frames_single_shuffle(spark):
