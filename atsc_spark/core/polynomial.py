@@ -133,6 +133,96 @@ def idw_decode(
     return round_and_limit(out, vmin, vmax, DECIMAL_PRECISION)
 
 
+def catmull_eval_batched(
+    data: np.ndarray, steps: np.ndarray, vmin: float, vmax: float
+) -> np.ndarray:
+    """Evaluate the Catmull-Rom reconstruction for MANY step sizes in
+    one 2-D pass: row j is exactly ``catmull_rom_decode`` of the keys
+    implied by ``steps[j]``.
+
+    Bit-identical to the sequential evaluation because the kept
+    positions are REGULAR — ``0, s, 2s, ...`` plus the final index —
+    so ``searchsorted(positions, t)`` collapses to ``t // s`` (the
+    appended last key never owns a segment start below n-1), position
+    gathers become arithmetic, and every floating-point expression is
+    the same elementwise formula the 1-D path computes.  Discarded
+    lanes (linear fallback where the Hermite branch doesn't apply) are
+    computed-then-dropped via ``np.where``; their divisors are provably
+    nonzero, so no special-value pollution.
+    """
+    n = len(data)
+    U = len(steps)
+    out = np.empty((U, n), dtype=np.float64)
+    # bound the working set: ~15 (chunk, n) temporaries at 8 bytes
+    chunk = max(1, 4_000_000 // n)
+    for lo in range(0, U, chunk):
+        out[lo : lo + chunk] = _catmull_eval_rows(data, steps[lo : lo + chunk])
+    return round_and_limit(out, vmin, vmax, DECIMAL_PRECISION)
+
+
+def _catmull_eval_rows(data: np.ndarray, steps: np.ndarray) -> np.ndarray:
+    n = len(data)
+    s = steps[:, None]  # (U, 1)
+    k0 = (n + steps - 1) // steps  # arange key count per row
+    appended = ((k0 - 1) * steps) != (n - 1)
+    n_keys = k0 + appended
+    ti = np.arange(n, dtype=np.int64)[None, :]
+    seg = np.minimum(ti // s, (n_keys - 2)[:, None])
+
+    def pos(idx):  # key position for key index (appended key sits at n-1)
+        return np.where(idx < k0[:, None], idx * s, n - 1)
+
+    p_lo_i = seg * s  # seg < k0 always, so no appended-key case here
+    p_hi_i = pos(seg + 1)
+    t = ti.astype(np.float64)
+    p_lo = p_lo_i.astype(np.float64)
+    p_hi = p_hi_i.astype(np.float64)
+    nt = np.divide(t - p_lo, p_hi - p_lo, out=np.zeros_like(p_lo), where=p_hi > p_lo)
+    v0 = data[p_lo_i]
+    v1 = data[p_hi_i]
+    out = v0 + (v1 - v0) * nt
+
+    cr = (seg > 0) & (seg <= (n_keys - 3)[:, None])
+    if cr.any():
+        t0i = (seg - 1) * s
+        t3i = pos(seg + 2)
+        vm1 = data[np.maximum(t0i, 0)]  # clip only the discarded seg==0 lanes
+        vp2 = data[t3i]
+        t0 = t0i.astype(np.float64)
+        t3 = t3i.astype(np.float64)
+        m0 = (v1 - vm1) / (p_hi - t0)
+        m1 = (vp2 - v0) / (t3 - p_lo)
+        dt = p_hi - p_lo
+        u2 = nt * nt
+        u3 = u2 * nt
+        h00 = 2.0 * u3 - 3.0 * u2 + 1.0
+        h10 = u3 - 2.0 * u2 + nt
+        h01 = -2.0 * u3 + 3.0 * u2
+        h11 = u3 - u2
+        out = np.where(cr, h00 * v0 + h10 * dt * m0 + h01 * v1 + h11 * dt * m1, out)
+    out[:, n - 1] = data[n - 1]
+    return out
+
+
+def _mape_rows(outs: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Row-wise ``error_mape`` with the reference's zero quirks
+    (0/0 -> NaN, x/0 -> inf), summation matching the 1-D path
+    bit-for-bit (contiguous-row pairwise sums)."""
+    n = len(data)
+    diff = np.abs(outs - data[None, :])
+    nz = data != 0.0
+    if nz.all():
+        return (diff / np.abs(data)[None, :]).sum(axis=1) / n
+    terms = np.divide(
+        diff, np.abs(data)[None, :], out=np.full_like(diff, np.nan), where=nz[None, :]
+    )
+    zcols = np.flatnonzero(~nz)
+    sub = terms[:, zcols]
+    sub[diff[:, zcols] > 0] = np.inf
+    terms[:, zcols] = sub
+    return terms.sum(axis=1) / n
+
+
 class PolynomialFrame:
     def __init__(self, vmin: float, vmax: float, ptype: int, bitdepth: int) -> None:
         self.ptype = ptype  # POLYNOMIAL_ID or IDW_ID
@@ -158,12 +248,117 @@ class PolynomialFrame:
     def compress(self, data: np.ndarray) -> None:
         self.compress_hinted(data, max(3, len(data) // 100))
 
+    @staticmethod
+    def _point_schedule(n: int) -> list[int]:
+        """The reference's 23-point escalation schedule
+        (`polynomial.rs:209-277`): iteration k uses
+        ``baseline + sum(increments through k-1)`` where increments are
+        max(n/10, 1) for iterations 1-17 and max(n/100, 1) for 18-22."""
+        baseline = max(3, n // 100)
+        points = [baseline]
+        jump = 0
+        for it in range(1, 23):
+            jump += max(n // 10, 1) if it <= 17 else max(n // 100, 1)
+            points.append(baseline + jump)
+        return points
+
     def compress_bounded(self, data: np.ndarray, max_err: float) -> None:
-        """`polynomial.rs:209-277` — same escalation schedule as the reference."""
+        """`polynomial.rs:209-277` — walk the escalation schedule until
+        MAPE passes the bound, store-all (error forced to 0) if it
+        never does.
+
+        Measured negative result (round 3, BENCH.md): a batched 2-D
+        schedule evaluation (:func:`catmull_eval_batched`, equivalence
+        hypothesis-proven by ``test_poly_batched_equals_sequential``)
+        is 6-56% SLOWER than this lazy loop across small/day/large
+        frames — ~99% of passing frames exit by iteration 2 (eager
+        evaluation is wasted work), the n/10 jump schedule caps live
+        iterations at ~6 for any n, and the batched seg arithmetic
+        (integer division + hermite-everywhere) costs more per element
+        than searchsorted + masked hermite.  Unlike the FFT there is no
+        cumsum structure to share across budgets, so the batch saves
+        only call overhead that was never the cost.
+        """
+        self._compress_bounded_sequential(np.asarray(data, dtype=np.float64), max_err)
+
+    def compress_bounded_batched(self, data: np.ndarray, max_err: float) -> None:
+        """Batched-schedule variant, outcome-identical to
+        :meth:`compress_bounded` (hypothesis-proven) — kept as the
+        measured alternative; see compress_bounded's docstring."""
         if self.max == self.min:
             self.error = None
             return
         data = np.asarray(data, dtype=np.float64)
+        n = len(data)
+        if self.ptype != POLYNOMIAL_ID or n < 2:
+            self._compress_bounded_sequential(data, max_err)
+            return
+
+        target = round_f64(max_err, 3)
+
+        def exits(err: float) -> bool:
+            # loop-condition complement: `while target < round4(err)`
+            # (NaN compares False, so a NaN error exits keeping the
+            # current frame — the MAPE zero quirk)
+            return not (target < round_f64(err, 4))
+
+        points = self._point_schedule(n)
+        steps = [max(n // p, 1) for p in points]
+        # first store-all iteration (step 1 <=> every sample is a key)
+        first_store = next((k for k, s in enumerate(steps) if s == 1), None)
+        live = steps if first_store is None else steps[:first_store]
+
+        # phase 1: iterations 1-3 sequentially (where exits concentrate)
+        err_by_step: dict[int, float] = {}
+        for k in range(1, min(3, len(live)) + 1):
+            step = live[k - 1]
+            if step not in err_by_step:
+                self.compress_hinted(data, points[k - 1])
+                err_by_step[step] = calculate_error(data, self._decode(n))
+            if exits(err_by_step[step]):
+                self.compress_hinted(data, points[k - 1])
+                self.error = err_by_step[step]
+                return
+
+        # phase 2: the deep tail in ONE batched evaluation over the
+        # unique remaining steps — equal steps produce identical frames
+        # and errors, so dedup can't change selection
+        rest = live[3:]
+        if rest:
+            uniq = sorted(set(rest) - set(err_by_step), reverse=True)
+            if uniq:
+                outs = catmull_eval_batched(
+                    data, np.asarray(uniq, dtype=np.int64), self.min, self.max
+                )
+                errs = _mape_rows(outs, data)
+                err_by_step.update(zip(uniq, (float(e) for e in errs)))
+            for k, step in enumerate(rest, start=4):
+                err_k = err_by_step[step]
+                if k <= 22 and exits(err_k):
+                    self.compress_hinted(data, points[k - 1])
+                    self.error = err_k
+                    return
+                if k == 23:
+                    # iteration 23's post-fit branch is asymmetric:
+                    # strict `target > round4(err)` keeps the frame,
+                    # anything else (incl. equality and NaN) stores all
+                    if target > round_f64(err_k, 4):
+                        self.compress_hinted(data, points[22])
+                        self.error = err_k
+                        return
+
+        # store-all: reached either by step hitting 1 mid-schedule or
+        # by iteration 23 failing its strict check
+        self.compress_hinted(data, n)
+        self.error = 0.0
+
+    def _compress_bounded_sequential(self, data: np.ndarray, max_err: float) -> None:
+        """The literal reference loop (`polynomial.rs:209-277`) — the
+        IDW path, and the equivalence anchor the batched path is
+        hypothesis-tested against."""
+        if self.max == self.min:
+            self.error = None
+            return
         n = len(data)
         baseline = max(3, n // 100)
         current_err = max_err + 1.0

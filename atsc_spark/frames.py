@@ -222,6 +222,30 @@ def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
     return make_grouped_fit_fn(handle, _FRAME_COLS)
 
 
+def quantize_relative(series: DataFrame, rel_err: float, value_col: str = "value") -> DataFrame:
+    """Snap values to log-spaced bucket centers with relative error
+    <= ``rel_err``; zeros pass through exactly.
+
+    Buckets are powers of B = (1+rel_err)^2; rounding ``ln|v|`` to the
+    nearest multiple of ``ln B`` moves a value by at most a factor
+    (1+rel_err) in either direction.  Pure JVM expressions (signum /
+    log / round / exp), so it runs inside whole-stage codegen.
+
+    The classic quantize-then-RLE lever for noisy series: adjacent
+    near-equal values collapse to one bucket center, turning noise
+    into exact runs the Index-RLE frame stores in O(runs) — while the
+    end-to-end ATSC contract (relative error bound vs the input) still
+    holds, with the bound split between quantization and the frame
+    fit: total <= q + f + q*f.
+    """
+    step = 2.0 * float(np.log1p(rel_err))
+    q = F.when(F.col(value_col) == 0.0, F.lit(0.0)).otherwise(
+        F.signum(value_col)
+        * F.exp(F.round(F.log(F.abs(F.col(value_col))) / step) * step)
+    )
+    return series.withColumn(value_col, q)
+
+
 def fit_frames(
     series: DataFrame,
     max_error: float = 0.03,
@@ -230,6 +254,7 @@ def fit_frames(
     num_tasks: int | None = None,
     gap_fill: str | None = None,
     gap_fill_interval_s: int = 60,
+    quantize_rel: float | None = None,
 ) -> DataFrame:
     """series ``(conv_id, metric, bucket_ts, value)`` -> frames table.
 
@@ -250,6 +275,8 @@ def fit_frames(
         from .rollup import gap_fill as _gap_fill
 
         series = _gap_fill(series, gap_fill_interval_s, gap_fill).drop("is_filled")
+    if quantize_rel is not None:
+        series = quantize_relative(series, quantize_rel)
     comp_id = COMPRESSOR_IDS[compressor] if isinstance(compressor, str) else compressor
     if num_tasks is None:
         num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8

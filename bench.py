@@ -117,19 +117,24 @@ def main() -> None:
 
     # events-derived series: irregular/noisy — the adversarial case for
     # function fitting.  Production path regularizes cadence first
-    # (gap_fill='locf' on the 1-minute grid); the fill factor is
-    # reported so the ratio's denominator (the filled series the frames
-    # actually store) is visible, plus the unfilled ratio for contrast.
+    # (gap_fill='locf' on the 1-minute grid) and spends the 3% error
+    # budget on log-bucket relative quantization (quantize_rel=0.0296,
+    # frames then exact), which turns noise into RLE runs.  The fill
+    # factor and the TRUE end-to-end max relative error (decoded vs
+    # the unquantized filled series, measured below outside the timed
+    # wall) are reported so neither lever is silent.
+    _EVENTS_Q = 0.0296  # (1+q)^2 bucket spacing keeps rel err <= 2.96% < 3%
+
     def run_pipeline():
         series = series_from_events(events, "1 minute")
         frames = fit_frames(
-            series, max_error=0.03, gap_fill="locf", gap_fill_interval_s=60
+            series, max_error=0.0, gap_fill="locf", gap_fill_interval_s=60,
+            quantize_rel=_EVENTS_Q,
         ).cache()
         rep = compression_report(frames).collect()
         raw = sum(r.raw_bytes for r in rep)
         comp = sum(r.payload_bytes for r in rep)
         extras["events_ratio"] = round(raw / max(comp, 1), 2)
-        extras["events_max_error"] = max((r.max_error or 0.0) for r in rep)
         extras["events_fill_factor"] = round(
             sum(r.samples for r in rep) / max(series.count(), 1), 2
         )
@@ -138,8 +143,34 @@ def main() -> None:
 
     timed("q_atsc_events", run_pipeline)
 
-    # unfilled contrast number (untimed): irregular noisy sums defeat
-    # ATSC by design — this is the honest "what if you don't gap-fill"
+    # untimed verification + contrast numbers:
+    # (1) TRUE end-to-end max relative error of the decoded frames vs
+    #     the unquantized locf-filled series — proves the 3% bound
+    #     held through quantize+fit+decode;
+    # (2) the unfilled/unquantized ratio — the honest "ATSC alone on
+    #     irregular noisy sums" baseline (defeated by design).
+    from atsc_spark.rollup import gap_fill as _gf
+
+    _series = series_from_events(events, "1 minute")
+    _filled = _gf(_series, 60, "locf").drop("is_filled")
+    _frames = fit_frames(
+        _series, max_error=0.0, gap_fill="locf", quantize_rel=_EVENTS_Q
+    )
+    _dec = decode_frames(_frames).withColumnRenamed("value", "dv")
+    extras["events_max_rel_error"] = round(
+        _dec.join(_filled, ["conv_id", "metric", "bucket_ts"])
+        .select(
+            F.max(
+                F.when(
+                    F.col("value") != 0.0,
+                    F.abs(F.col("dv") - F.col("value")) / F.abs("value"),
+                ).otherwise(F.abs(F.col("dv")))
+            ).alias("e")
+        )
+        .collect()[0]
+        .e,
+        4,
+    )
     rep_irr = compression_report(
         fit_frames(series_from_events(events, "1 minute"), max_error=0.03)
     ).agg(F.sum("raw_bytes").alias("r"), F.sum("payload_bytes").alias("p")).collect()[0]

@@ -199,3 +199,56 @@ def test_fft_batched_equals_sequential_structured():
             s = _fft_bounded_sequential(data, max_err)
             assert b.to_bytes() == s.to_bytes(), (i, max_err)
             assert (b.error == s.error) or (np.isnan(b.error) and np.isnan(s.error)), (i, max_err)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=2, max_size=500
+    ),
+    st.sampled_from([0.0, 0.01, 0.03, 0.1]),
+)
+@settings(max_examples=80, deadline=None)
+def test_poly_batched_equals_sequential(vals, max_err):
+    """The batched Catmull-Rom schedule evaluation must reproduce the
+    sequential reference loop bit-for-bit: same selected iteration,
+    same payload bytes, same reported error (incl. NaN/inf zero quirks
+    and the iteration-23 store-all asymmetry)."""
+    from atsc_spark.core.polynomial import POLYNOMIAL_ID, PolynomialFrame
+    from atsc_spark.core.stats import data_stats
+
+    data = np.asarray(vals, dtype=np.float64)
+    stc = data_stats(data)
+    batched = PolynomialFrame(stc.min, stc.max, POLYNOMIAL_ID, stc.bitdepth)
+    batched.compress_bounded_batched(data, max_err)
+    seq = PolynomialFrame(stc.min, stc.max, POLYNOMIAL_ID, stc.bitdepth)
+    seq._compress_bounded_sequential(data, max_err)
+    assert batched.to_bytes() == seq.to_bytes()
+    be, se = batched.error, seq.error
+    if be is None or se is None:
+        assert be == se
+    else:
+        assert (be == se) or (np.isnan(be) and np.isnan(se)), (be, se)
+
+
+def test_poly_batched_integerish_zero_quirks():
+    """Zero-containing integer-ish frames walk the schedule to
+    store-all (inf MAPE path) or exit on a NaN (exact-zero fit) —
+    both must match the sequential loop exactly."""
+    from atsc_spark.core.polynomial import POLYNOMIAL_ID, PolynomialFrame
+    from atsc_spark.core.stats import data_stats
+
+    rng = np.random.default_rng(17)
+    cases = [
+        rng.integers(0, 3, 400).astype(np.float64),     # many zeros
+        np.where(rng.random(800) < 0.01, 0.0, rng.normal(50, 5, 800)),  # rare zeros
+        np.concatenate([[0.0], np.arange(1, 512.0)]),   # zero at a kept position
+    ]
+    for i, data in enumerate(cases):
+        for max_err in (0.01, 0.03):
+            stc = data_stats(data)
+            b = PolynomialFrame(stc.min, stc.max, POLYNOMIAL_ID, stc.bitdepth)
+            b.compress_bounded_batched(data, max_err)
+            s = PolynomialFrame(stc.min, stc.max, POLYNOMIAL_ID, stc.bitdepth)
+            s._compress_bounded_sequential(data, max_err)
+            assert b.to_bytes() == s.to_bytes(), (i, max_err)
+            assert (b.error == s.error) or (np.isnan(b.error) and np.isnan(s.error))

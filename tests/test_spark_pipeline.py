@@ -119,3 +119,36 @@ def test_fit_frames_error_zero_exact(spark, small_transcripts):
     orig = series.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
     got = decoded.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
     assert np.array_equal(orig["value"].to_numpy(), got["value"].to_numpy())
+
+
+def test_quantize_relative_bound(spark):
+    """Log-bucket quantization: |v' - v| <= rel_err * |v|, zero exact,
+    sign preserved — the lever that lets noisy series spend the ATSC
+    error budget on run creation before an exact RLE fit."""
+    import numpy as np
+    from atsc_spark.frames import quantize_relative
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate(
+        [
+            rng.normal(0, 100, 500),
+            rng.lognormal(0, 4, 500),
+            -rng.lognormal(0, 4, 500),
+            [0.0, 1e-300, -1e-300, 1e300],
+        ]
+    )
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "value double"
+    )
+    q = 0.0296
+    out = quantize_relative(df, q).toPandas()["value"].to_numpy()
+    nz = vals != 0.0
+    rel = np.abs(out[nz] - vals[nz]) / np.abs(vals[nz])
+    assert rel.max() <= q + 1e-12, rel.max()
+    assert np.all(out[vals == 0.0] == 0.0)
+    assert np.all(np.sign(out) == np.sign(vals))
+    # noise collapses to few distinct levels (the run-creation property)
+    tight = rng.normal(1000, 5, 1000)
+    df2 = spark.createDataFrame([(float(v),) for v in tight], "value double")
+    out2 = quantize_relative(df2, q).toPandas()["value"].to_numpy()
+    assert len(np.unique(out2)) < 10
