@@ -903,6 +903,19 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2
 """
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product quantization with codebook_k >= corpus size makes every
+    subvector its own centroid, so ADC reconstruction is exact and the
+    result must equal brute force EXACTLY — grading the whole PQ
+    pipeline (per-subspace k-means, shuffle-free encode, LUT build,
+    ADC scoring, top-k) against the SQL oracle.  Recall at compressing
+    configs (incl. the shortlist+exact-rerank path) is asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(emb, queries, k=5, nsub=4, codebook_k=4096)
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF with nprobe == nlist probes every cell, so the result must
     equal brute force EXACTLY — this grades the whole IVF machinery
@@ -1147,6 +1160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ivf_ann": q_ivf_ann,
+    "pq_ann": q_pq_ann,
 }
 
 ORACLES: dict[str, str] = {
@@ -1191,4 +1205,5 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ivf_ann": SQL_ANN_TOPK,
+    "pq_ann": SQL_ANN_TOPK,
 }

@@ -124,3 +124,15 @@ def test_ivf_corpus_assignment_shuffle_free(spark):
     queries = emb.filter(F.col("vec_id") < 3)  # no-Exchange query side
     q = ivf_topk(emb, queries, k=5, nlist=4, nprobe=4)
     assert n_exchanges(q) == 1, "IVF plan must shuffle only for the final top-k"
+
+
+def test_pq_plan_shuffle_contract(spark):
+    """PQ encode is an argmin projection over codebook literals (no
+    crossJoin, no window); ADC scoring broadcasts the query LUTs.  The
+    only Exchange in the whole plan is the final per-query top-k."""
+    from atsc_spark.datapipe.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    q = pq_topk(emb, queries, k=5, nsub=4, codebook_k=8)
+    assert n_exchanges(q) == 1, "PQ plan must shuffle only for the final top-k"

@@ -104,3 +104,53 @@ def test_simhash_chunk_cap(spark):
     )
     pairs = dedup.simhash_near_pairs(docs, max_hamming=3, max_bucket=100)
     assert pairs.count() == 0
+
+
+def test_pq_exact_at_full_codebook(spark):
+    """codebook_k >= corpus size -> every subvector is its own
+    centroid -> ADC reconstruction exact -> PQ == brute force."""
+    from atsc_spark.datapipe.similarity import cosine_topk, pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(tuple(r) for r in cosine_topk(emb, q, k=5).collect())
+    pq = sorted(tuple(r) for r in pq_topk(emb, q, k=5, nsub=4, codebook_k=4096).collect())
+    assert pq == exact
+
+
+def test_pq_rerank_recall(spark):
+    """Compressing config (256x smaller codes than raw f64 vectors at
+    nsub=4): ADC shortlist + exact rerank recovers recall@5 >= 0.75 on
+    the near-random driver embeddings (the hardest case for PQ —
+    neighbor margins are tiny)."""
+    from atsc_spark.datapipe.similarity import cosine_topk, pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    want = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, q, k=5, nsub=4, codebook_k=128, rerank=50).collect()
+    }
+    assert len(got & want) / len(want) >= 0.75
+    # ADC alone is worse than the reranked result on this corpus —
+    # the rerank stage is doing real work
+    adc_only = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, q, k=5, nsub=4, codebook_k=128).collect()
+    }
+    assert len(adc_only & want) <= len(got & want)
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from atsc_spark.datapipe.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(emb, nsub=4, k=16)
+    assert books.shape == (4, 16, 16)  # dim 64 / nsub 4
+    books2 = pq_codebooks(emb, nsub=4, k=16)
+    assert (books == books2).all()
+    codes = pq_encode(emb, books).toPandas()
+    assert set(codes.columns) == {"neighbor_id", "codes", "norm"}
+    assert all(len(c) == 4 for c in codes["codes"])
+    assert all(0 <= v < 16 for c in codes["codes"] for v in c)
