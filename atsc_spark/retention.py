@@ -14,9 +14,10 @@ Tier layout (ages are policy-configurable):
 The reference positions ATSC exactly here: "in places where time
 series are rolled over" (`/root/reference/README.md:66`).  Storage is
 day-partitioned parquet directories (an Iceberg catalog swap makes the
-partition replacement a single atomic snapshot commit; the container
-ships no Iceberg jars, so with plain parquet we use a rename-based
-staged commit: fit into ``_staging/<target>/day=...``, validate counts
+partition replacement a single atomic snapshot commit — the
+jar-guarded writer for that lives in :mod:`atsc_spark.iceberg`; this
+container ships no Iceberg jars, so with plain parquet we use a
+rename-based staged commit: fit into ``_staging/<target>/day=...``, validate counts
 there, then ``FileSystem.rename`` each day directory into place — a
 single metadata operation on HDFS/posix — and only then drop the
 source partitions.  A crash at any point leaves *both* copies, never

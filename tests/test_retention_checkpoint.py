@@ -373,3 +373,12 @@ def test_gorilla_magic_guards():
         dod_decode(b"GORA" + dod_encode(ts)[4:])
     with pytest.raises(ValueError, match="value section: bad magic"):
         xor_decode(b"NOPE" + xor_encode(vals)[4:])
+
+
+def test_iceberg_guard_degrades_gracefully(spark):
+    """No Iceberg jars in this container: the probe must return False
+    without raising, which is what keeps TieredStore on the parquet
+    staged-rename path."""
+    from atsc_spark.iceberg import iceberg_available
+
+    assert iceberg_available(spark) is False
