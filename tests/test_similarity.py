@@ -154,3 +154,33 @@ def test_pq_codes_shape_and_determinism(spark):
     assert set(codes.columns) == {"neighbor_id", "codes", "norm"}
     assert all(len(c) == 4 for c in codes["codes"])
     assert all(0 <= v < 16 for c in codes["codes"] for v in c)
+
+
+def test_hyperplane_lsh_near_dup_recall(spark):
+    """Label-free near-dup path: multi-table random-hyperplane LSH must
+    recover 100% of planted near-duplicate twins (cosine > 0.99) at
+    threshold 0.95, with the threshold filter removing all false
+    candidates."""
+    import numpy as np
+    from atsc_spark.datapipe.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (200, 64))
+    rows, vid, truth = [], 0, set()
+    for i in range(200):
+        rows.append((vid, [float(x) for x in base[i]]))
+        this = vid
+        vid += 1
+        if i % 4 == 0:
+            twin = base[i] + rng.normal(0, 0.02, 64)
+            rows.append((vid, [float(x) for x in twin]))
+            truth.add((this, vid))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dups(emb, threshold=0.95, block_col=None).collect()
+    }
+    assert truth <= got  # every planted twin found
+    # random 64-dim gaussians essentially never reach cosine 0.95
+    assert all(p in truth for p in got), got - truth
