@@ -5,8 +5,11 @@ Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Measurement protocol (documented, per round-2 adjudication): each
-timed query runs $SPARK_GRAFT_BENCH_REPEATS times (default 2) and the
-BEST wall is reported.  This sandbox's first touch of a fresh 64 MB
+timed query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and the
+BEST wall is reported.  (3, not 2: host contention on this VM arrives
+in multi-second windows, so two back-to-back reps of one query can
+both land inside one; measured swing between whole bench runs at
+repeats=2 was 29.5 vs 21.0 s on identical code.)  This sandbox's first touch of a fresh 64 MB
 buffer costs 400-800 ms (cold page faults), which made identical code
 read 50 s on a cold single shot vs 33 s warm; best-of-N measures the
 engine, not the VM's fault path.  Input synthesis for the transcripts
@@ -28,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from atsc_spark.session import get_spark
