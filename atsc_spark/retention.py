@@ -100,10 +100,25 @@ class TieredStore:
             return None
 
     def tier_days(self, name: str) -> list[date]:
-        df = self._read_or_empty(name)
-        if df is None:
+        """Days present in a tier — a FileSystem METADATA listing of the
+        ``day=...`` partition directories, not a parquet scan.  A
+        ``select(day).distinct()`` would read every footer (and without
+        partition pruning, every row group) of a year-scale tier on
+        each retention pass."""
+        fs, root = self._fs(self.path(name))
+        try:
+            statuses = fs.listStatus(root)
+        except Exception:  # tier directory does not exist yet
             return []
-        return sorted(r.day for r in df.select("day").distinct().collect())
+        days = []
+        for st in statuses:
+            dirname = st.getPath().getName()
+            if st.isDirectory() and dirname.startswith("day="):
+                try:
+                    days.append(date.fromisoformat(dirname[4:]))
+                except ValueError:
+                    continue  # foreign directory (e.g. _staging leftovers)
+        return sorted(days)
 
     def raw_days(self) -> list[date]:
         return self.tier_days("raw")
