@@ -243,14 +243,20 @@ def pq_codebooks(
     books = np.empty((nsub, k_eff, dsub), dtype=np.float64)
     for j in range(nsub):
         Xj = X[:, j * dsub : (j + 1) * dsub]
-        C = Xj[rng.choice(n, size=k_eff, replace=False)]
+        C = Xj[rng.choice(n, size=k_eff, replace=False)].copy()
+        prev = None
         for _ in range(iters):
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
             assign = d2.argmin(axis=1)
-            for c in range(k_eff):
-                m = assign == c
-                if m.any():
-                    C[c] = Xj[m].mean(axis=0)
+            if prev is not None and np.array_equal(assign, prev):
+                break  # converged (immediately, in the exact k>=n case)
+            prev = assign
+            counts = np.bincount(assign, minlength=k_eff)
+            sums = np.zeros((k_eff, dsub))
+            np.add.at(sums, assign, Xj)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books[j] = C
     return books
 
@@ -264,45 +270,47 @@ def pq_encode(
     """(neighbor_id, codes array<int>, norm double) — corpus encoded as
     nsub codebook indices plus its exact L2 norm.
 
-    Shuffle-free: each subspace assignment is an argmin-L2 projection
-    over the codebook embedded as a plan literal (argmax of
-    ``dot - ||c||^2/2`` with the same negated-id tie-break as
-    :func:`ivf_topk`); no crossJoin, no window.  At 10^9 vectors the
-    codes table is nsub bytes + 8 per vector — the 100 TB-scale
+    Shuffle-free ``mapInPandas`` with the codebook captured in the UDF
+    closure: one numpy matmul + argmin per (Arrow batch, subspace).  A
+    plan-literal formulation was measured and rejected — a k=500
+    codebook is ~32k literal doubles, and Catalyst spends ~50 s
+    analyzing the expression tree (the data compute is milliseconds).
+    Ties (duplicate centroids) resolve to the lowest index, like the
+    reference argmax-struct tie-break.  At 10^9 vectors the codes
+    table is nsub small ints + 8 bytes per vector — the 100 TB-scale
     representation (64x smaller than float64 vectors at nsub=8,
     dim=64).
     """
+    import numpy as np
+    import pandas as pd
+
     nsub, k_eff, dsub = codebooks.shape
+    books = codebooks.copy()
+    # ||x - c||^2 argmin == argmax(x.c - ||c||^2/2); precompute the bias
+    half_norms = [(books[j] * books[j]).sum(axis=1) / 2.0 for j in range(nsub)]
 
-    def sub_code(j: int):
-        cmat = F.lit([[float(x) for x in row] for row in codebooks[j]])
-        sub = F.slice("v", j * dsub + 1, dsub)
-        scores = F.transform(
-            cmat,
-            lambda cv, i: F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(sub, cv, lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    - F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x) / 2.0
-                ).alias("sim"),
-                (-i).alias("nid"),
-            ),
-        )
-        return (-F.array_max(scores).getField("nid")).cast("int")
+    def run(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                yield pd.DataFrame(columns=["neighbor_id", "codes", "norm"])
+                continue
+            codes = np.empty((len(X), nsub), dtype=np.int32)
+            for j in range(nsub):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                scores = Xj @ books[j].T - half_norms[j][None, :]
+                codes[:, j] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "codes": list(codes),
+                    "norm": np.sqrt((X * X).sum(axis=1)),
+                }
+            )
 
-    norm = F.sqrt(
-        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
-    ).select(
-        "neighbor_id",
-        F.array(*[sub_code(j) for j in range(nsub)]).alias("codes"),
-        norm.alias("norm"),
-    )
+        F.col(id_col).cast("long").alias("neighbor_id"), _as_double(vec_col).alias("v")
+    ).mapInPandas(run, "neighbor_id long, codes array<int>, norm double")
 
 
 def pq_topk(
@@ -345,25 +353,27 @@ def pq_topk(
     nsub_eff, k_eff, dsub = C.shape
     codes = pq_encode(embeddings, C, id_col, vec_col)
 
-    def sub_lut(j: int):
-        cmat = F.lit([[float(x) for x in row] for row in C[j]])
-        sub = F.slice("q", j * dsub + 1, dsub)
-        return F.transform(
-            cmat,
-            lambda cv: F.aggregate(
-                F.zip_with(sub, cv, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+    # LUTs are built driver-side from the collected query set — the
+    # query side is small/broadcastable by assumption (same contract as
+    # cosine_topk's broadcast), and shipping the (nsub x k) tables as
+    # DATA keeps the plan free of mega-literal expression trees that
+    # Catalyst analysis chokes on (measured ~50 s at k=500).
+    import numpy as np
 
-    qnorm = F.sqrt(F.aggregate(F.col("q"), F.lit(0.0), lambda acc, x: acc + x * x))
-    q_lut = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q")
-    ).select(
-        "query_id",
-        F.array(*[sub_lut(j) for j in range(nsub_eff)]).alias("lut"),
-        qnorm.alias("qnorm"),
+    spark = embeddings.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r.q, dtype=np.float64)
+        lut = [
+            [float(x) for x in qv[j * dsub : (j + 1) * dsub] @ C[j].T]
+            for j in range(nsub_eff)
+        ]
+        lut_rows.append((r.query_id, lut, float(np.sqrt((qv * qv).sum()))))
+    q_lut = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>, qnorm double"
     )
 
     joined = codes.join(F.broadcast(q_lut), F.col("query_id") != F.col("neighbor_id"))
