@@ -423,11 +423,31 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def media_repartition(media: DataFrame, target_bytes_per_task: int = 128 << 20) -> DataFrame:
     """Size partitions by *bytes*, not rows: blobs are wildly variable.
-    Uses a running estimate from the metadata (length of content)."""
-    sized = media.withColumn("__bytes", F.length("content").cast("long"))
-    total = sized.agg(F.sum("__bytes").alias("b")).collect()[0].b or 1
+
+    For file-backed inputs the total size comes from FILE METADATA
+    (``inputFiles`` + FileSystem status — no data scan); only
+    in-memory/synthesized frames fall back to a one-pass
+    ``sum(length(content))``.  The earlier always-scan version was fine
+    once but paid a full read of the blobs every time it was composed
+    into a larger plan.
+    """
+    total = 0
+    try:
+        files = media.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        jvm = media.sparkSession._jvm
+        hconf = media.sparkSession._jsc.hadoopConfiguration()
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    else:
+        total = (
+            media.agg(F.sum(F.length("content")).alias("b")).collect()[0].b or 1
+        )
     parts = max(1, int(total // target_bytes_per_task) + 1)
-    return sized.repartition(parts, "media_id").drop("__bytes")
+    return media.repartition(parts, "media_id")
 
 
 def synthetic_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
