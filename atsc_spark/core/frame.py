@@ -88,14 +88,20 @@ def get_chunk_sizes(length: int) -> list[int]:
     return sizes
 
 
-def compress_bounded(compressor: int, data: np.ndarray, max_error: float) -> tuple[bytes, float]:
+def compress_bounded(
+    compressor: int, data: np.ndarray, max_error: float, stats=None
+) -> tuple[bytes, float]:
     """Dispatch one frame to one compressor (`compressor/mod.rs:94-107`).
 
     Returns (payload bytes, reported error).  Lossless compressors
     (constant/rle/noop) always report 0.0, matching the reference —
-    including Constant's unconditional 0.0 quirk.
+    including Constant's unconditional 0.0 quirk.  ``stats`` lets the
+    auto tournament reuse one stats pass across its candidates (it was
+    measured at 18% of small-frame tournament time when recomputed per
+    candidate).
     """
-    stats = data_stats(data)
+    if stats is None:
+        stats = data_stats(data)
     if compressor == NOOP:
         return noop_compress(data)
     if compressor == FFT:
@@ -155,18 +161,21 @@ def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameRe
 
     sample_n = COMPRESSION_SPEED[speed]
     if n >= sample_n:
+        evaluated = data[:sample_n]
+        ev_stats = stats if sample_n >= n else data_stats(evaluated)
         results = [
-            (compress_bounded(c, data[:sample_n], max_error), c)
-            for c in tournament_candidates(data[:sample_n])
+            (compress_bounded(c, evaluated, max_error, ev_stats), c)
+            for c in tournament_candidates(evaluated)
         ]
         passing = [(r, c) for r, c in results if r[1] <= max_error]
         # RLE always reports 0.0, so `passing` is never empty.
         (payload, _), chosen = min(passing, key=lambda rc: len(rc[0][0]))
-        payload, err = compress_bounded(chosen, data, max_error)
+        payload, err = compress_bounded(chosen, data, max_error, stats)
         return FrameResult(chosen, n, payload, err)
 
     results = [
-        (compress_bounded(c, data, max_error), c) for c in tournament_candidates(data)
+        (compress_bounded(c, data, max_error, stats), c)
+        for c in tournament_candidates(data)
     ]
     passing = [(r, c) for r, c in results if r[1] <= max_error]
     pool = passing if passing else results
