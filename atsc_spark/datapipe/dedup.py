@@ -575,6 +575,17 @@ def _sign_bucket(dims: int = 8):
     return out
 
 
+def rademacher_planes(n_tables: int, n_planes: int, dim: int, seed: int = 0):
+    """Deterministic ±1 hyperplanes.  Sign-of-dot with Rademacher
+    vectors is the same LSH family as Gaussian hyperplanes (simhash's
+    random projections); ±1 entries make the planes embeddable
+    verbatim in a cross-engine SQL oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(n_tables, n_planes, dim))
+
+
 def hyperplane_lsh_candidates(
     embeddings: DataFrame,
     n_tables: int = 8,
@@ -583,6 +594,7 @@ def hyperplane_lsh_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 10000,
+    planes=None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH candidate pairs
     ``(vec_a, vec_b)`` — the scale path for embedding near-dup.
@@ -600,9 +612,12 @@ def hyperplane_lsh_candidates(
     """
     import numpy as np
 
-    dim = embeddings.select(F.size(vec_col).alias("d")).first().d
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    if planes is None:
+        dim = embeddings.select(F.size(vec_col).alias("d")).first().d
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+    else:
+        n_tables, n_planes, _ = planes.shape
 
     v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
 

@@ -927,6 +927,56 @@ def q_ivf_ann(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
 
 
+def _hyperplane_planes():
+    from .datapipe.dedup import rademacher_planes
+
+    # fixed config shared verbatim by the Spark plan and the SQL oracle:
+    # 2 tables x 8 planes over the 64-dim embeddings, seed 7
+    return rademacher_planes(2, 8, 64, seed=7)
+
+
+def q_hyperplane_lsh(spark, sf_dir):
+    """Multi-table random-hyperplane LSH candidates over ±1
+    (Rademacher) planes — the label-free embedding near-dup scale
+    path, graded exactly: the SAME plane literals are embedded in this
+    plan and in the generated SQL oracle, so both engines compute
+    identical sign patterns (no cross-engine hash family needed)."""
+    return dedup.hyperplane_lsh_candidates(
+        _t(spark, sf_dir, "embeddings"), planes=_hyperplane_planes(), max_bucket=None
+    ).withColumn("n_tables_matched", F.col("n_tables_matched").cast("long"))
+
+
+def _hyperplane_lsh_sql() -> str:
+    planes = _hyperplane_planes()
+    n_tables, n_planes, dim = planes.shape
+    tables = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(n_planes):
+            lit = "[" + ", ".join(str(float(x)) for x in planes[t][j]) + "]"
+            weight = 1 << (n_planes - 1 - j)  # fold order: acc*2 + bit
+            bits.append(
+                f"(CASE WHEN list_dot_product(e, {lit}::DOUBLE[]) >= 0 "
+                f"THEN {weight} ELSE 0 END)"
+            )
+        tables.append(
+            f"  SELECT vec_id, {t} AS tbl, (" + " + ".join(bits) + ") AS bucket FROM v"
+        )
+    union = "\n  UNION ALL\n".join(tables)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), b AS (
+{union}
+)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       CAST(count(*) AS BIGINT) AS n_tables_matched
+FROM b a JOIN b b2
+  ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Documents that survive exact dedup (min doc_id per digest)."""
     return dedup.dedup_exact_survivors(_t(spark, sf_dir, "documents"))
@@ -1161,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "ivf_ann": q_ivf_ann,
     "pq_ann": q_pq_ann,
+    "hyperplane_lsh": q_hyperplane_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -1206,4 +1257,5 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ivf_ann": SQL_ANN_TOPK,
     "pq_ann": SQL_ANN_TOPK,
+    "hyperplane_lsh": _hyperplane_lsh_sql(),
 }
