@@ -709,3 +709,78 @@ def simhash_near_pairs_md5(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------- duplicate clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over candidate
+    pairs; cluster_id = the minimum doc_id in the component, singletons
+    cluster with themselves.
+
+    Min-label propagation to fixpoint: each round every node takes the
+    minimum label among itself and its neighbors, converging in
+    O(component diameter) rounds.  Near-dup candidate graphs are
+    clique-ish (tiny diameter), so a handful of rounds suffice; each
+    round is one shuffle join + one aggregate, labels are
+    localCheckpoint-ed per round so the lineage (and the plan Catalyst
+    must analyze) stays flat instead of doubling per iteration.  The
+    convergence test compares the summed labels (monotonically
+    non-increasing, so equality <=> fixpoint) — one scalar per round,
+    no row-level diff join.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=False)
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 100,
+) -> DataFrame:
+    """(doc_id, cluster_id) duplicate clusters: md5-family minhash LSH
+    candidates -> connected components.  The corpus-level dedup primitive
+    (pick min-id per cluster to keep, or weight clusters for sampling)."""
+    pairs = minhash_lsh_candidates_md5(
+        docs, text_col, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+    return connected_components(pairs, docs, node_col="doc_id")

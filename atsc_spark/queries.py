@@ -826,6 +826,36 @@ GROUP BY 1, 2
 SQL_MINHASH_LSH = _minhash_sql()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus-level duplicate clusters: md5-family minhash LSH
+    candidates -> connected components (min-label propagation to
+    fixpoint).  cluster_id = min doc_id in the component; singletons
+    cluster with themselves.  The iterative Spark propagation must
+    reach the same fixpoint the oracle's recursive CTE computes by
+    transitive closure."""
+    return dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, max_bucket=100
+    ).withColumn("cluster_id", F.col("cluster_id").cast("long"))
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE cand AS (
+{SQL_MINHASH_LSH.strip()}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
 
@@ -1212,6 +1242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann": q_ivf_ann,
     "pq_ann": q_pq_ann,
     "hyperplane_lsh": q_hyperplane_lsh,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1258,4 +1289,5 @@ ORACLES: dict[str, str] = {
     "ivf_ann": SQL_ANN_TOPK,
     "pq_ann": SQL_ANN_TOPK,
     "hyperplane_lsh": _hyperplane_lsh_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
 }

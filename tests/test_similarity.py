@@ -184,3 +184,23 @@ def test_hyperplane_lsh_near_dup_recall(spark):
     assert truth <= got  # every planted twin found
     # random 64-dim gaussians essentially never reach cosine 0.95
     assert all(p in truth for p in got), got - truth
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation must traverse a long chain (multiple
+    propagation rounds), merge components through a bridge, and leave
+    singletons clustered with themselves."""
+    from atsc_spark.datapipe.dedup import connected_components
+
+    # chain 10-11-12-...-19 (diameter 9), pair (30, 31), singleton 99
+    pairs = [(i, i + 1) for i in range(10, 19)] + [(30, 31)]
+    nodes = list(range(10, 20)) + [30, 31, 99]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pdf, ndf, max_iter=30).collect()
+    }
+    assert all(got[n] == 10 for n in range(10, 20))
+    assert got[30] == 30 and got[31] == 30
+    assert got[99] == 99
