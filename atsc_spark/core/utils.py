@@ -10,7 +10,11 @@ point-for-point parity.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+_INF = float("inf")
 
 #: Decimal precision used by every lossy decode (`utils/mod.rs:21`).
 DECIMAL_PRECISION = 5
@@ -60,9 +64,21 @@ def round_half_away(x):
 
 
 def round_f64(x: float, decimals: int) -> float:
-    """`utils/mod.rs:61-64`: (x * 10^d).round() / 10^d with Rust rounding."""
+    """`utils/mod.rs:61-64`: (x * 10^d).round() / 10^d with Rust rounding.
+
+    Scalar math.* fast path, bit-identical to the vectorized
+    round_half_away (floor/copysign are the same IEEE ops) — this runs
+    inside the per-iteration bounded-fit loop conditions and the numpy
+    scalar machinery alone was ~10 us/call (1.5 s of a 16 s fit batch).
+    """
     y = float(10**decimals)
-    return float(round_half_away(x * y) / y)
+    xs = x * y
+    if xs != xs or xs in (_INF, -_INF):  # NaN/inf pass through, like np
+        return xs / y if xs == xs else xs
+    ax = abs(xs)
+    if ax >= 2.0**52:
+        return xs / y  # round_half_away big-value passthrough: (x*y)/y
+    return math.copysign(math.floor(ax + 0.5), xs) / y
 
 
 def round_and_limit(x, vmin: float, vmax: float, decimals: int):
@@ -92,7 +108,16 @@ def rust_f64_as_i32(x: float) -> int:
 
 
 def saturating_cast(values: np.ndarray, dtype) -> np.ndarray:
-    """Rust `as` integer cast semantics for arrays: clamp + trunc, NaN->0."""
+    """Rust `as` integer cast semantics for arrays: clamp + trunc, NaN->0.
+
+    clip handles ±inf (trunc keeps them, clip saturates them to the
+    type bounds — same result nan_to_num produced); only NaN needs the
+    explicit fill, and the isnan probe is far cheaper than an
+    unconditional nan_to_num pass on the (almost always finite) input.
+    """
     info = np.iinfo(dtype)
-    v = np.nan_to_num(np.trunc(values), nan=0.0, posinf=info.max, neginf=info.min)
+    v = np.trunc(values)
+    nan = np.isnan(v)
+    if nan.any():
+        v = np.where(nan, 0.0, v)
     return np.clip(v, info.min, info.max).astype(dtype)
