@@ -194,11 +194,26 @@ class FFTFrame:
             return
         max_freq = max(3, len(data) // 100)
         g_data = gibbs_sizing(data) if len(data) >= 128 else np.asarray(data, dtype=np.float64)
-        length = len(g_data)
-
         buf = np.fft.fft(g_data)
         half = buf[: len(buf) // 2 + 1].astype(np.complex64)
         order = np.argsort(-np.abs(half).astype(np.float64), kind="stable")
+        self._compress_bounded_pre(g_data, half, order, max_freq, max_err)
+
+    def _compress_bounded_pre(
+        self,
+        g_data: np.ndarray,
+        half: np.ndarray,
+        order: np.ndarray,
+        max_freq: int,
+        max_err: float,
+        skip_first: bool = False,
+    ) -> None:
+        """Bounded loop body over a precomputed (padded data, half
+        spectrum, norm argsort) — lets the cross-frame batched phase-1
+        (core/batchfit.py) hand off failing frames without recomputing
+        the FFT.  ``skip_first`` jumps straight to phase 2 when the
+        caller already evaluated (and failed) the first budget."""
+        length = len(g_data)
         budgets = self._budget_schedule(max_freq)
         bound = rust_f64_as_i32(max_err * 1000.0)
 
@@ -206,11 +221,12 @@ class FFTFrame:
             return bound < rust_f64_as_i32(err * 1000.0)
 
         # phase 1: first budget alone
-        self.freqs = fft_trim(half, budgets[0], order=order)
-        out = _round_clamp(_ifft_real(self.freqs, length), self.min, self.max)
-        self.error = calculate_error(g_data, out)
-        if not fails(self.error):
-            return
+        if not skip_first:
+            self.freqs = fft_trim(half, budgets[0], order=order)
+            out = _round_clamp(_ifft_real(self.freqs, length), self.min, self.max)
+            self.error = calculate_error(g_data, out)
+            if not fails(self.error):
+                return
 
         # phase 2: batch the remaining schedule points
         re_all = half.real.astype(np.float32)

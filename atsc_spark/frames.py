@@ -216,10 +216,72 @@ def make_grouped_fit_fn(handle_group, columns: list[str]):
 
 
 def _make_fit_map_fn(compressor_id: int, max_error: float, speed: int):
+    from .core.frame import AUTO
+
+    if compressor_id == AUTO and speed == 0:
+        return _make_fit_map_fn_batched(max_error)
+
     def handle(conv_id, metric, day, values, ts, rows):
         _fit_one_group(conv_id, metric, day, values, ts, compressor_id, max_error, speed, rows)
 
     return make_grouped_fit_fn(handle, _FRAME_COLS)
+
+
+def _make_fit_map_fn_batched(max_error: float):
+    """AUTO/speed-0 fit with the CROSS-FRAME batched tournament
+    (core/batchfit.py): all frames of every group in the Arrow batch
+    are collected first, bucketed by length, and compressed in
+    vectorized cohorts — result-identical to the per-frame path
+    (pinned by equivalence tests) at ~2.6x the throughput on
+    small-frame-heavy (Zipf conversation) workloads."""
+
+    def run(batches):
+        from .core.batchfit import compress_frames_batch
+
+        for pdf in batches:
+            conv = pdf["conv_id"].to_numpy()
+            met = pdf["metric"].to_numpy()
+            day = pdf["day"].to_numpy()
+            ts_col = pdf["ts_s"].to_numpy()
+            val_col = pdf["vals"].to_numpy()
+            metas: list = []
+            datas: list = []
+            for i in range(len(pdf)):
+                values = np.asarray(val_col[i], dtype=np.float64)
+                ts = np.asarray(ts_col[i], dtype=np.int64)
+                keep = np.isfinite(values)
+                if not keep.all():
+                    values, ts = values[keep], ts[keep]
+                offset = 0
+                for frame_idx, size in enumerate(get_chunk_sizes(len(values))):
+                    seg = time_segment_arrays(ts[offset : offset + size])
+                    metas.append((i, frame_idx, size, seg))
+                    datas.append(values[offset : offset + size])
+                    offset += size
+            results = compress_frames_batch(datas, max_error)
+            rows = []
+            for (i, frame_idx, size, (m, y0, cnt)), res in zip(metas, results):
+                rows.append(
+                    {
+                        "conv_id": conv[i],
+                        "metric": met[i],
+                        "day": day[i],
+                        "frame_idx": frame_idx,
+                        "compressor": COMPRESSOR_NAMES[res.compressor],
+                        "compressor_id": res.compressor,
+                        "sample_count": res.sample_count,
+                        "seg_interval": m,
+                        "seg_start": y0,
+                        "seg_n": cnt,
+                        "payload": res.payload,
+                        "error": float(res.error) if np.isfinite(res.error) else None,
+                        "payload_bytes": len(res.payload),
+                        "raw_bytes": int(size) * 8,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=_FRAME_COLS)
+
+    return run
 
 
 def quantize_relative(series: DataFrame, rel_err: float, value_col: str = "value") -> DataFrame:
@@ -342,7 +404,11 @@ def decode_granularity(sel: DataFrame, source: DataFrame, num_tasks: int | None)
             return sel
     except Exception:
         pass
-    par = source.sparkSession.sparkContext.defaultParallelism
+    # 2x parallelism, not 1x: decode is output-heavy and the extra
+    # slices pipeline the Arrow transfer of finished tasks with the
+    # decode compute of running ones (measured 8.3 -> 4.6 s on a
+    # 20M-row decode at 8 cores; the small-corpus penalty is ~0.1 s)
+    par = 2 * source.sparkSession.sparkContext.defaultParallelism
     if source.storageLevel.useMemory or source.storageLevel.useDisk:
         return sel.coalesce(par)
     return sel.repartition(par)

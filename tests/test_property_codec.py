@@ -252,3 +252,56 @@ def test_poly_batched_integerish_zero_quirks():
             s._compress_bounded_sequential(data, max_err)
             assert b.to_bytes() == s.to_bytes(), (i, max_err)
             assert (b.error == s.error) or (np.isnan(b.error) and np.isnan(s.error))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+            min_size=2,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([0.0, 0.01, 0.03]),
+)
+@settings(max_examples=50, deadline=None)
+def test_batchfit_equals_sequential(frame_lists, max_err):
+    """The cross-frame batched tournament must reproduce
+    compress_best frame-for-frame: same compressor choice, same
+    payload bytes, same reported error (incl. NaN from the MAPE zero
+    quirk) — for mixed lengths, same-length cohorts, zeros, constants
+    and negatives alike."""
+    from atsc_spark.core.batchfit import compress_frames_batch
+    from atsc_spark.core.frame import compress_best
+
+    datas = [np.asarray(f, dtype=np.float64) for f in frame_lists]
+    got = compress_frames_batch(datas, max_err)
+    for d, r in zip(datas, got):
+        s = compress_best(d, max_err)
+        assert r.compressor == s.compressor
+        assert r.payload == s.payload
+        assert (r.error == s.error) or (np.isnan(r.error) and np.isnan(s.error))
+
+
+def test_batchfit_structured_corpora():
+    """Cohort batching on the realistic shapes: Zipf small frames,
+    monitoring day frames, zero-heavy counts, exact ramps."""
+    from atsc_spark.core.batchfit import compress_frames_batch
+    from atsc_spark.core.frame import compress_best
+
+    rng = np.random.default_rng(13)
+    datas = []
+    for n in np.clip((2.0 / rng.random(150) ** 1.2).astype(int), 2, 600):
+        datas.append(np.round(rng.poisson(3, n).astype(float), 1))  # zeros
+    for _ in range(6):
+        datas.append(50 + 20 * np.sin(np.arange(4096) / 9) + np.round(rng.normal(0, 3, 4096), 2))
+    datas.append(np.arange(1024.0) + 1)  # ramp: poly exact
+    datas.append(np.full(512, 3.25))     # constant
+    for max_err in (0.01, 0.03):
+        got = compress_frames_batch(datas, max_err)
+        for d, r in zip(datas, got):
+            s = compress_best(d, max_err)
+            assert (r.compressor, r.payload) == (s.compressor, s.payload)
+            assert (r.error == s.error) or (np.isnan(r.error) and np.isnan(s.error))
