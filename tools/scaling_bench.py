@@ -50,12 +50,13 @@ def single(cores: int) -> dict:
 
     fit_frames(monitoring_series(spark, n_series=cores, samples_per_series=64)).count()
 
-    # best-of-2 inside the JVM: the first pass pays the VM's cold
-    # first-touch faults; the second measures the engine (same
-    # protocol as bench.py)
+    # best-of-3 inside the JVM: the first pass pays the VM's cold
+    # first-touch faults, and host contention arrives in multi-second
+    # windows that can swallow a single later pass too (same
+    # reasoning as bench.py's repeats=3)
     wall = float("inf")
     decoded_rows = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         series = derive_series(t)
         frames = fit_frames(series, max_error=0.03)
@@ -102,10 +103,13 @@ def main() -> None:
         print(json.dumps(single(args.single)))
         return
 
+    # levels INTERLEAVED across repeats (2,8,2,8 — not 2,2,8,8): the
+    # sandbox host drifts slowly (measured ~16% absolute slowdown over
+    # hours), and running one level's repeats back-to-back would bias
+    # the efficiency against whichever level runs later
     runs = {}
-    for cores in args.levels:
-        best = None
-        for _ in range(args.repeat):
+    for _ in range(args.repeat):
+        for cores in args.levels:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
                 capture_output=True,
@@ -115,9 +119,8 @@ def main() -> None:
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
-            if best is None or r["wall_sec"] < best["wall_sec"]:
-                best = r
-        runs[cores] = best
+            if cores not in runs or r["wall_sec"] < runs[cores]["wall_sec"]:
+                runs[cores] = r
 
     lo, hi = args.levels
     speedup = runs[hi]["turns_per_sec"] / runs[lo]["turns_per_sec"]
