@@ -305,3 +305,27 @@ def test_batchfit_structured_corpora():
             s = compress_best(d, max_err)
             assert (r.compressor, r.payload) == (s.compressor, s.payload)
             assert (r.error == s.error) or (np.isnan(r.error) and np.isnan(s.error))
+
+
+def test_batchfit_zero_stop_fallback():
+    """Alternating patterns put EXACT zeros in the f32 spectrum, so the
+    top-budget selection hits fft_trim's zero-frequency early-stop —
+    the one FFT shape the batch can't express.  The per-frame fallback
+    (reusing the cohort's precomputed spectrum) must reproduce the
+    sequential result exactly."""
+    from atsc_spark.core.batchfit import compress_frames_batch
+    from atsc_spark.core.frame import compress_best
+
+    rng = np.random.default_rng(1)
+    datas = [
+        np.tile([5.0, 9.0], 32),            # 31 exact-zero bins of 33
+        np.tile([1.0, 4.0], 16),
+        np.tile([2.0, 2.0, 8.0, 8.0], 16),
+        np.round(np.cumsum(rng.normal(0, 1, 64)) + 50, 2),  # cohort mate
+    ]
+    for e in (0.0, 0.01, 0.03):
+        got = compress_frames_batch(datas, e)
+        for d, r in zip(datas, got):
+            s = compress_best(np.asarray(d, dtype=np.float64), e)
+            assert (r.compressor, r.payload) == (s.compressor, s.payload)
+            assert (r.error == s.error) or (np.isnan(r.error) and np.isnan(s.error))
