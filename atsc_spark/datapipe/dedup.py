@@ -714,6 +714,12 @@ def simhash_near_pairs_md5(
 # ------------------------------------------- duplicate clustering
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative fixpoint computation exhausts its round
+    budget without converging — returning partial labels silently would
+    mis-cluster, so the caller must see it."""
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -721,21 +727,29 @@ def connected_components(
     b_col: str = "doc_b",
     node_col: str = "doc_id",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over candidate
     pairs; cluster_id = the minimum doc_id in the component, singletons
     cluster with themselves.
 
-    Min-label propagation to fixpoint: each round every node takes the
-    minimum label among itself and its neighbors, converging in
-    O(component diameter) rounds.  Near-dup candidate graphs are
-    clique-ish (tiny diameter), so a handful of rounds suffice; each
-    round is one shuffle join + one aggregate, labels are
-    localCheckpoint-ed per round so the lineage (and the plan Catalyst
-    must analyze) stays flat instead of doubling per iteration.  The
-    convergence test compares the summed labels (monotonically
-    non-increasing, so equality <=> fixpoint) — one scalar per round,
-    no row-level diff join.
+    Min-label propagation with pointer jumping: each round every node
+    takes the minimum label among itself and its neighbors, then maps
+    that label through the fresh label table again (``label :=
+    label(label)``), so the distance a component-min travels roughly
+    doubles per round — O(log n) rounds even on CHAIN-shaped components
+    (shingle/sliding-window duplicates), where plain propagation needs
+    O(diameter).  Each round is two shuffle joins + one aggregate;
+    labels are localCheckpoint-ed per round so the lineage (and the
+    plan Catalyst must analyze) stays flat instead of doubling per
+    iteration.  The convergence test compares the summed labels
+    (per-node monotonically non-increasing, so sum equality <=>
+    fixpoint) — one scalar per round, no row-level diff join.
+
+    If the budget runs out before the fixpoint, raises
+    :class:`ConvergenceError` (``strict=True``, default) — never
+    silently returns partial labels.  ``strict=False`` returns the
+    partial labels for callers that explicitly want best-effort.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = edges.unionByName(
@@ -745,6 +759,7 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=False)
 
+    converged = False
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
@@ -752,7 +767,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        cand = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -760,11 +775,32 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
+        # Pointer jump: every label value is itself a node id, so remap
+        # each node's candidate label through the candidate table.  This
+        # is the path-halving step that turns O(diameter) into O(log n).
+        jump = cand.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            cand.join(jump, cand.label == jump.jnode, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged and strict:
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds are O(log n) with pointer jumping) or "
+            "pass strict=False for best-effort partial labels"
+        )
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("cluster_id")
     )

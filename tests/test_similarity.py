@@ -204,3 +204,38 @@ def test_connected_components_chain_and_singletons(spark):
     assert all(got[n] == 10 for n in range(10, 20))
     assert got[30] == 30 and got[31] == 30
     assert got[99] == 99
+
+
+def test_connected_components_path_graph_10k(spark):
+    """A 10k-node path graph has diameter 9999 — plain min-label
+    propagation would need ~10k rounds.  Pointer jumping must close it
+    within the default 25-round budget (O(log n))."""
+    from atsc_spark.datapipe.dedup import connected_components
+
+    n = 10_000
+    pdf = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    ndf = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = connected_components(pdf, ndf)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n
+
+
+def test_connected_components_truncation_raises(spark):
+    """Exhausting max_iter without a fixpoint must FAIL LOUDLY, never
+    silently return partial labels."""
+    import pytest
+
+    from atsc_spark.datapipe.dedup import ConvergenceError, connected_components
+
+    n = 200  # path graph; 1 round cannot close diameter 199
+    pdf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components(pdf, ndf, max_iter=1)
+    # best-effort mode returns partial labels without raising
+    part = connected_components(pdf, ndf, max_iter=1, strict=False)
+    assert part.count() == n
