@@ -440,6 +440,47 @@ def decode_frames(frames: DataFrame, num_tasks: int | None = None) -> DataFrame:
     )
 
 
+def frame_time_span(frames: DataFrame) -> DataFrame:
+    """Attach ``span_start_s`` / ``span_end_s`` (epoch seconds, both
+    inclusive) computed purely from the VSRI segment metadata — no
+    payload decode.  The first segment's start is the frame's first
+    timestamp; the last segment contributes ``start + (n-1)*interval``.
+    (Segments are emitted in timestamp order by
+    :func:`time_segment_arrays`, so first/last elements bound the span.)
+    """
+    first = F.try_element_at(F.col("seg_start"), F.lit(1))
+    last_start = F.try_element_at(F.col("seg_start"), F.lit(-1))
+    last_iv = F.try_element_at(F.col("seg_interval"), F.lit(-1))
+    last_n = F.try_element_at(F.col("seg_n"), F.lit(-1))
+    return frames.withColumn("span_start_s", first).withColumn(
+        "span_end_s", last_start + last_iv * (last_n.cast("long") - 1)
+    )
+
+
+def prune_frames_to_range(frames: DataFrame, t0_s: int, t1_s: int) -> DataFrame:
+    """Keep only frames whose time span intersects ``[t0_s, t1_s]``
+    (closed interval, epoch seconds) — a METADATA-ONLY filter on the
+    VSRI segment arrays, evaluated in the scan stage before any payload
+    reaches the decoder.
+
+    This is the point of carrying the segment index per frame (the
+    reference's VSRI exists for exactly this, `vsri/src/lib.rs:125-134`,
+    even though its demo pipeline decompresses everything,
+    `atsc/src/data.rs:104-109`): at the 100 TB tier, a dashboard query
+    for one day must not decode a year.  Frames straddling a boundary
+    still decode whole — the caller trims with an exact timestamp
+    filter after decode.  Null spans (defensively possible on foreign
+    rows with empty segment arrays) are kept, never silently dropped.
+    """
+    spanned = frame_time_span(frames)
+    keep = (F.col("span_end_s") >= F.lit(int(t0_s))) & (
+        F.col("span_start_s") <= F.lit(int(t1_s))
+    )
+    return spanned.filter(F.coalesce(keep, F.lit(True))).drop(
+        "span_start_s", "span_end_s"
+    )
+
+
 def compression_report(frames: DataFrame) -> DataFrame:
     """Per-(metric, compressor) ratio/error summary — the engine-side
     equivalent of the paper's Table I reporting."""

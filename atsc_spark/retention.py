@@ -41,16 +41,33 @@ output.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import date
+from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .frames import decode_frames, fit_frames
+from .frames import decode_frames, fit_frames, prune_frames_to_range
 from .lossless import decode_lossless, fit_lossless
 from .rollup import rollup
 
 _TIER_ORDER = {"raw": 0, "tier0": 1, "tier1": 2, "tier2": 3, "rollup": 4}
+
+
+def _epoch_s(t) -> int:
+    """Normalize a range bound (epoch seconds, datetime, or date) to
+    int epoch seconds.  Naive datetimes/dates are taken as UTC — the
+    store writes UTC-derived buckets, and the ±1-day widening in
+    :meth:`TieredStore.read_series` absorbs any session-timezone skew
+    at the partition-pruning layer."""
+    if isinstance(t, datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=timezone.utc)
+        return int(t.timestamp())
+    if isinstance(t, date):
+        return int(
+            datetime(t.year, t.month, t.day, tzinfo=timezone.utc).timestamp()
+        )
+    return int(t)
 
 
 @dataclass
@@ -248,21 +265,73 @@ class TieredStore:
 
     # ------------------------------------------------------------- read
 
-    def read_series(self) -> DataFrame:
+    def read_series(self, t0=None, t1=None) -> DataFrame:
         """Unified read across tiers: raw rows ∪ decoded tier0 blocks ∪
         decoded tier1/2 frames.  (Rollup-only days are aggregates and
-        are served from read_rollup.)"""
+        are served from read_rollup.)
+
+        With a time range ``[t0, t1]`` (closed interval; epoch seconds,
+        :class:`~datetime.datetime` or :class:`~datetime.date`), the
+        read is pruned in three layers BEFORE any payload decode:
+
+        1. **day partition pruning** — ``day`` is the partition column,
+           so a foldable day-bounds filter makes Catalyst skip whole
+           partition directories at the parquet scan (widened ±1 day so
+           session-timezone drift can never skip a boundary day);
+        2. **frame-level span pruning** (tier1/2) — the VSRI segment
+           metadata gives every frame's min/max timestamp without
+           touching the payload (:func:`atsc_spark.frames.prune_frames_to_range`);
+           tier0 Gorilla blocks are one series-day each, so the day
+           layer already bounds them;
+        3. **exact timestamp trim after decode** — boundary-straddling
+           frames decode whole and are trimmed here.
+
+        At the 100 TB tier this is the difference between decoding one
+        day and decoding a year for a dashboard query.
+        """
+        lo_s = _epoch_s(t0) if t0 is not None else None
+        hi_s = _epoch_s(t1) if t1 is not None else None
+
+        def day_bound(df: DataFrame) -> DataFrame:
+            if lo_s is not None:
+                df = df.filter(
+                    F.col("day")
+                    >= F.date_sub(F.to_date(F.timestamp_seconds(F.lit(lo_s))), 1)
+                )
+            if hi_s is not None:
+                df = df.filter(
+                    F.col("day")
+                    <= F.date_add(F.to_date(F.timestamp_seconds(F.lit(hi_s))), 1)
+                )
+            return df
+
+        def ts_trim(df: DataFrame) -> DataFrame:
+            if lo_s is not None:
+                df = df.filter(F.col("bucket_ts") >= F.timestamp_seconds(F.lit(lo_s)))
+            if hi_s is not None:
+                df = df.filter(F.col("bucket_ts") <= F.timestamp_seconds(F.lit(hi_s)))
+            return df
+
         parts: list[DataFrame] = []
         raw = self._read_or_empty("raw")
         if raw is not None:
-            parts.append(raw.select("conv_id", "metric", "bucket_ts", "value"))
-        t0 = self._read_or_empty("tier0")
-        if t0 is not None:
-            parts.append(decode_lossless(t0))
+            parts.append(
+                ts_trim(day_bound(raw).select("conv_id", "metric", "bucket_ts", "value"))
+            )
+        t0_df = self._read_or_empty("tier0")
+        if t0_df is not None:
+            parts.append(ts_trim(decode_lossless(day_bound(t0_df))))
         for tier in ("tier1", "tier2"):
             t = self._read_or_empty(tier)
             if t is not None:
-                parts.append(decode_frames(t))
+                pruned = day_bound(t)
+                if lo_s is not None or hi_s is not None:
+                    pruned = prune_frames_to_range(
+                        pruned,
+                        lo_s if lo_s is not None else -(2**62),
+                        hi_s if hi_s is not None else 2**62,
+                    )
+                parts.append(ts_trim(decode_frames(pruned)))
         if not parts:
             raise RuntimeError("empty store")
         out = parts[0]

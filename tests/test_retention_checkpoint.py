@@ -382,3 +382,96 @@ def test_iceberg_guard_degrades_gracefully(spark):
     from atsc_spark.iceberg import iceberg_available
 
     assert iceberg_available(spark) is False
+
+
+# -------------------------------------------- time-range-pruned reads
+
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tier1_store(spark, series, tmp_path_factory):
+    """A store with every day aged into tier1 frames (3 series-days)."""
+    store = TieredStore(
+        spark,
+        str(tmp_path_factory.mktemp("pruned") / "store"),
+        TierPolicy(t0_days=0, t1_days=0, t2_days=10000, t3_days=30000),
+    )
+    store.write_raw(series)
+    moves = store.retention_pass(date(2024, 6, 1))
+    assert moves and all(t == "tier1" for _, t in moves)
+    assert store.tier_days("tier1") != []
+    return store
+
+
+def test_read_series_range_matches_full_read_filtered(spark, series, tier1_store):
+    """Pruned read == full read filtered to the same closed interval."""
+    lo = series.agg(F.min("bucket_ts")).collect()[0][0]
+    t0 = int(lo.timestamp()) + 86_400 // 2          # midday of day 1
+    t1 = t0 + 86_400                                 # midday of day 2
+    full = tier1_store.read_series().filter(
+        (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(t0)))
+        & (F.col("bucket_ts") <= F.timestamp_seconds(F.lit(t1)))
+    )
+    pruned = tier1_store.read_series(t0, t1)
+    a = full.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    b = pruned.toPandas().sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert np.array_equal(a["value"].to_numpy(), b["value"].to_numpy())
+    pd.testing.assert_series_equal(a["bucket_ts"], b["bucket_ts"])
+    # datetime bounds give the same result as epoch-second bounds
+    from datetime import datetime, timezone
+
+    c = (
+        tier1_store.read_series(
+            datetime.fromtimestamp(t0, tz=timezone.utc),
+            datetime.fromtimestamp(t1, tz=timezone.utc),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(a["value"].to_numpy(), c["value"].to_numpy())
+
+
+def test_read_series_range_prunes_partitions_in_plan(spark, series, tier1_store):
+    """The day-bounds filter must reach the parquet scan as a
+    PartitionFilter (directory-level pruning), not a post-scan filter."""
+    lo = series.agg(F.min("bucket_ts")).collect()[0][0]
+    t0 = int(lo.timestamp())
+    plan = _plan_of(tier1_store.read_series(t0, t0 + 3600))
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, "scan shows no PartitionFilters"
+    assert any("day" in l and ">=" in l and "<=" in l for l in scan_lines), scan_lines
+
+
+def test_prune_frames_to_range_span_metadata(spark, series, tier1_store):
+    """Frame-level pruning: only frames whose VSRI span intersects the
+    range survive, judged purely from metadata; payload bytes reaching
+    the decoder drop accordingly."""
+    from atsc_spark.frames import frame_time_span, prune_frames_to_range
+
+    frames = spark.read.parquet(tier1_store.path("tier1"))
+    spans = frame_time_span(frames).select("span_start_s", "span_end_s").toPandas()
+    lo_all, hi_all = int(spans["span_start_s"].min()), int(spans["span_end_s"].max())
+    t0 = lo_all + (hi_all - lo_all) // 3
+    t1 = lo_all + (hi_all - lo_all) // 2
+
+    kept = frame_time_span(prune_frames_to_range(frames, t0, t1)).toPandas()
+    assert 0 < len(kept) < len(spans)
+    # exactly the intersecting frames survive
+    want = spans[(spans["span_end_s"] >= t0) & (spans["span_start_s"] <= t1)]
+    assert len(kept) == len(want)
+    assert ((kept["span_end_s"] >= t0) & (kept["span_start_s"] <= t1)).all()
+    # decoder-visible bytes shrink
+    full_b = frames.agg(F.sum("payload_bytes")).collect()[0][0]
+    kept_b = prune_frames_to_range(frames, t0, t1).agg(F.sum("payload_bytes")).collect()[0][0]
+    assert kept_b < full_b
