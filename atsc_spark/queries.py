@@ -957,6 +957,23 @@ def q_ivf_ann(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
 
 
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF×PQ composition at the degenerate-exact config: nprobe ==
+    nlist probes every cell and codebook_k >= corpus makes every
+    RESIDUAL subvector its own centroid, so q·c + ADC(q·r) reconstructs
+    q·x exactly and the result must equal brute force — grading the
+    whole composed pipeline (coarse k-means, residual codebooks,
+    single-pass cell+code encode, per-cell LUT probe, top-k) against
+    the SQL oracle.  Recall at compressing configs (3/10 cells probed,
+    16-entry residual codebooks + exact rerank) is asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(
+        emb, queries, k=5, nlist=8, nprobe=8, nsub=4, codebook_k=4096
+    )
+
+
 def _hyperplane_planes():
     from .datapipe.dedup import rademacher_planes
 
@@ -1241,6 +1258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "ivf_ann": q_ivf_ann,
     "pq_ann": q_pq_ann,
+    "ivfpq_ann": q_ivfpq_ann,
     "hyperplane_lsh": q_hyperplane_lsh,
     "dedup_clusters": q_dedup_clusters,
 }
@@ -1288,6 +1306,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ivf_ann": SQL_ANN_TOPK,
     "pq_ann": SQL_ANN_TOPK,
+    "ivfpq_ann": SQL_ANN_TOPK,
     "hyperplane_lsh": _hyperplane_lsh_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
 }

@@ -136,3 +136,16 @@ def test_pq_plan_shuffle_contract(spark):
     queries = emb.filter(F.col("vec_id") < 3)
     q = pq_topk(emb, queries, k=5, nsub=4, codebook_k=8)
     assert n_exchanges(q) == 1, "PQ plan must shuffle only for the final top-k"
+
+
+def test_ivfpq_plan_shuffle_contract(spark):
+    """The IVF×PQ composition keeps the same contract as its halves:
+    cell assignment + residual encode is one shuffle-free mapInPandas
+    pass, probes/LUTs broadcast, and the only Exchange in the whole
+    plan is the final per-query top-k."""
+    from atsc_spark.datapipe.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    q = ivfpq_topk(emb, queries, k=5, nlist=4, nprobe=2, nsub=4, codebook_k=8)
+    assert n_exchanges(q) == 1, "IVF×PQ plan must shuffle only for the final top-k"
