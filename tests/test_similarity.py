@@ -205,6 +205,35 @@ def test_pq_codes_shape_and_determinism(spark):
     assert all(0 <= v < 16 for c in codes["codes"] for v in c)
 
 
+def test_simhash_lane_and_fallback_match_reference_votes(spark):
+    """The packed-lane fold (<=65535 tokens) and the unpacked fallback
+    (>65535 tokens) must both equal the definitional +-1 vote sum,
+    computed independently in numpy from the same token hashes."""
+    import numpy as np
+
+    def expected(doc):
+        hashes = np.array(
+            spark.createDataFrame([(doc,)], "text string")
+            .select(F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("th"))
+            .collect()[0].th,
+            dtype=np.int64,
+        )
+        n = len(hashes)
+        sim = np.int64(0)
+        for b in range(64):
+            count = int(((hashes >> b) & 1).sum())
+            if 2 * count > n:  # vote sum = 2*count - n
+                sim += np.int64(1) << b
+        return int(sim)
+
+    small = " ".join(f"w{i % 997}" for i in range(1, 3000))       # lane path
+    big = " ".join(f"w{i % 997}" for i in range(1, 70001))        # fallback path
+    docs = spark.createDataFrame([(0, small), (1, big)], "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert got[0] == expected(small)
+    assert got[1] == expected(big)
+
+
 def test_hyperplane_lsh_near_dup_recall(spark):
     """Label-free near-dup path: multi-table random-hyperplane LSH must
     recover 100% of planted near-duplicate twins (cosine > 0.99) at
