@@ -12,10 +12,17 @@ both land inside one; measured swing between whole bench runs at
 repeats=2 was 29.5 vs 21.0 s on identical code.)  This sandbox's first touch of a fresh 64 MB
 buffer costs 400-800 ms (cold page faults), which made identical code
 read 50 s on a cold single shot vs 33 s warm; best-of-N measures the
-engine, not the VM's fault path.  Input synthesis for the transcripts
-flagship is materialized and counted OUTSIDE the timed wall — the
-timed query is the engine (derive + fit + report + decode), and
+engine, not the VM's fault path.  Input synthesis for ALL flagships
+(transcripts, monitoring, gorilla) is materialized and counted OUTSIDE
+the timed wall — every timed query is engine-only — and
 ``turns_per_sec`` is computed over that same engine-only window.
+
+Compression-ratio reporting for the events flagship: ``events_ratio``
+is measured against the raw bytes of the locf-FILLED series (the
+series the frames actually encode; fill factor co-reported), while
+``events_ratio_vs_input`` divides by the fill factor — the ratio
+against the bytes the caller actually handed in.  Both are printed so
+neither framing needs reader arithmetic.
 """
 
 from __future__ import annotations
@@ -71,12 +78,15 @@ def main() -> None:
     from atsc_spark.series import derive_series, series_from_events
 
     # flagship 1: the reference's demo-corpora shapes recast as series
-    # (BASELINE.md) — the compression-ratio benchmark
+    # (BASELINE.md) — the compression-ratio benchmark.  Input synthesis
+    # is materialized OUTSIDE the timed wall (uniform protocol with the
+    # transcripts flagship); the timed query is engine-only.
     n_series = max(8, int(2400 * sf))
+    m_input = monitoring_series(spark, n_series=n_series).cache()
+    m_input.count()
 
     def run_monitoring():
-        series = monitoring_series(spark, n_series=n_series)
-        frames = fit_frames(series, max_error=0.03).cache()
+        frames = fit_frames(m_input, max_error=0.03).cache()
         rep = compression_report(frames).collect()
         raw = sum(r.raw_bytes for r in rep)
         comp = sum(r.payload_bytes for r in rep)
@@ -141,6 +151,11 @@ def main() -> None:
         extras["events_fill_factor"] = round(
             sum(r.samples for r in rep) / max(series.count(), 1), 2
         )
+        # ratio against the bytes the caller handed in (unfilled):
+        # the filled-basis ratio divided by the fill factor
+        extras["events_ratio_vs_input"] = round(
+            extras["events_ratio"] / max(extras["events_fill_factor"], 1e-9), 2
+        )
         decode_frames(frames).count()
         frames.unpersist()
 
@@ -179,14 +194,36 @@ def main() -> None:
     ).agg(F.sum("raw_bytes").alias("r"), F.sum("payload_bytes").alias("p")).collect()[0]
     extras["events_ratio_unfilled"] = round(rep_irr.r / max(rep_irr.p, 1), 2)
 
+    # time-range-pruned tier read evidence (untimed): the VSRI frame
+    # metadata must cut decoder-visible bytes roughly in proportion to
+    # the day window requested (here: 1 day of the events-derived
+    # frames' full span)
+    from atsc_spark.frames import frame_time_span, prune_frames_to_range
+
+    _f_cached = _frames.cache()
+    span = frame_time_span(_f_cached).agg(
+        F.min("span_start_s").alias("lo"), F.max("span_end_s").alias("hi"),
+        F.sum("payload_bytes").alias("bytes"), F.count(F.lit(1)).alias("frames"),
+    ).collect()[0]
+    _p = prune_frames_to_range(_f_cached, int(span.lo), int(span.lo) + 86_400).agg(
+        F.sum("payload_bytes").alias("bytes"), F.count(F.lit(1)).alias("frames")
+    ).collect()[0]
+    extras["tier_prune"] = {
+        "span_days": round((int(span.hi) - int(span.lo)) / 86_400, 2),
+        "full_frames": int(span.frames),
+        "full_payload_bytes": int(span.bytes),
+        "pruned_to_1d_frames": int(_p.frames or 0),
+        "pruned_to_1d_payload_bytes": int(_p.bytes or 0),
+    }
+    _f_cached.unpersist()
+
     _gorilla_state: dict = {}
 
     def run_gorilla():
         old = _gorilla_state.pop("blocks", None)
         if old is not None:
             old.unpersist()
-        series = monitoring_series(spark, n_series=n_series)
-        blocks = fit_lossless(series).cache()
+        blocks = fit_lossless(m_input).cache()
         agg = blocks.agg(
             F.sum("raw_bytes").alias("r"), F.sum("payload_bytes").alias("p")
         ).collect()[0]
@@ -206,6 +243,7 @@ def main() -> None:
 
     timed("q_gorilla_decode", run_gorilla_decode)
     _gorilla_state.pop("blocks").unpersist()
+    m_input.unpersist()
 
     def run_cascade():
         series = series_from_events(events, "1 minute")
