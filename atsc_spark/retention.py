@@ -53,6 +53,10 @@ from .rollup import rollup
 _TIER_ORDER = {"raw": 0, "tier0": 1, "tier1": 2, "tier2": 3, "rollup": 4}
 
 
+class RetentionLockHeld(RuntimeError):
+    """Another writer holds the retention lease on this store."""
+
+
 def _epoch_s(t) -> int:
     """Normalize a range bound (epoch seconds, datetime, or date) to
     int epoch seconds.  Naive datetimes/dates are taken as UTC — the
@@ -168,9 +172,60 @@ class TieredStore:
         if not fs.rename(src, dst):
             raise RuntimeError(f"retention: rename {src} -> {dst} failed")
 
+    # ------------------------------------------------------------ lease
+
+    def _lock_path(self):
+        return self._fs(self.path("_lock"))
+
+    def _acquire_lease(self, ttl_s: int) -> None:
+        """Single-writer lease via atomic ``createNewFile`` on a
+        ``_lock`` marker.  A second concurrent pass aborts cleanly with
+        :class:`RetentionLockHeld` instead of racing the first one's
+        stage/rename/delete sequence.  A lock whose modification time
+        (heartbeat) is older than ``ttl_s`` is treated as a crashed
+        holder and taken over — the staged-rename commit protocol makes
+        any half-finished pass safe to re-run."""
+        import time as _time
+
+        fs, lock = self._lock_path()
+        for attempt in (0, 1):
+            try:
+                if fs.createNewFile(lock):
+                    return
+            except Exception:
+                pass  # parent dir races / FS quirks fall through to stat
+            try:
+                st = fs.getFileStatus(lock)
+                age_ms = _time.time() * 1000 - st.getModificationTime()
+            except Exception:
+                continue  # holder released between create and stat: retry
+            if age_ms > ttl_s * 1000 and attempt == 0:
+                fs.delete(lock, False)  # stale (crashed holder): take over
+                continue
+            raise RetentionLockHeld(
+                f"retention lease at {self.path('_lock')} held "
+                f"(heartbeat {age_ms / 1000:.0f}s old, ttl {ttl_s}s)"
+            )
+        raise RetentionLockHeld(f"retention lease at {self.path('_lock')} contended")
+
+    def _heartbeat_lease(self) -> None:
+        import time as _time
+
+        fs, lock = self._lock_path()
+        try:
+            fs.setTimes(lock, int(_time.time() * 1000), -1)
+        except Exception:
+            pass  # heartbeat is best-effort; ttl just ages from last beat
+
+    def _release_lease(self) -> None:
+        fs, lock = self._lock_path()
+        fs.delete(lock, False)
+
     # -------------------------------------------------------- retention
 
-    def retention_pass(self, today: date) -> list[tuple[str, str]]:
+    def retention_pass(
+        self, today: date, lease_ttl_s: int = 1800
+    ) -> list[tuple[str, str]]:
         """Age every day partition in every tier to its policy tier.
 
         Returns [(day, tier)] transitions performed.  Grouped: all days
@@ -184,7 +239,19 @@ class TieredStore:
         copy, and the stale lossier duplicates are dropped with the
         winning move — so a raw copy is never overwritten by a tierN
         re-fit of itself.
+
+        Single-writer: a ``_lock`` lease (heartbeated per fit job,
+        ``lease_ttl_s`` stale takeover) makes a concurrent second pass
+        abort with :class:`RetentionLockHeld` instead of double-staging
+        and double-deleting the same days.
         """
+        self._acquire_lease(lease_ttl_s)
+        try:
+            return self._retention_pass_locked(today)
+        finally:
+            self._release_lease()
+
+    def _retention_pass_locked(self, today: date) -> list[tuple[str, str]]:
         moves: list[tuple[str, str]] = []
 
         # clear staging leftovers from any crashed previous pass —
@@ -213,6 +280,7 @@ class TieredStore:
             return moves
 
         for (source, target), days in sorted(plan.items()):
+            self._heartbeat_lease()
             src = self.spark.read.parquet(self.path(source)).filter(
                 F.col("day").isin(days)
             )

@@ -475,3 +475,57 @@ def test_prune_frames_to_range_span_metadata(spark, series, tier1_store):
     full_b = frames.agg(F.sum("payload_bytes")).collect()[0][0]
     kept_b = prune_frames_to_range(frames, t0, t1).agg(F.sum("payload_bytes")).collect()[0][0]
     assert kept_b < full_b
+
+
+# --------------------------------------------------- writer lease
+
+
+def test_retention_lease_blocks_second_writer(spark, series, tmp_path):
+    """Two simultaneous passes: exactly one winner, the loser aborts
+    cleanly before touching any partition, zero data loss."""
+    from atsc_spark.retention import RetentionLockHeld
+
+    store = TieredStore(
+        spark,
+        str(tmp_path / "race"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    n = series.count()
+
+    # writer A holds the lease (mid-pass)
+    store._acquire_lease(ttl_s=1800)
+    # writer B (a second store handle on the same path) must abort
+    store_b = TieredStore(spark, store.base, store.policy)
+    with pytest.raises(RetentionLockHeld, match="held"):
+        store_b.retention_pass(date(2024, 3, 1))
+    # nothing moved, nothing lost
+    assert store_b.tier_days("tier0") == []
+    assert store.read_series().count() == n
+
+    # A releases; B proceeds and completes the move
+    store._release_lease()
+    assert store_b.retention_pass(date(2024, 3, 1))
+    assert store_b.tier_days("raw") == []
+    assert store_b.read_series().count() == n
+
+
+def test_retention_lease_stale_takeover_and_release(spark, series, tmp_path):
+    """A crashed holder's lock (heartbeat older than ttl) is taken
+    over; a finished pass always releases its lease."""
+    import time
+
+    store = TieredStore(
+        spark,
+        str(tmp_path / "stale"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    # simulate a crashed writer: lock exists with an ancient heartbeat
+    store._acquire_lease(ttl_s=1800)
+    fs, lock = store._lock_path()
+    fs.setTimes(lock, int((time.time() - 3600) * 1000), -1)
+    moves = store.retention_pass(date(2024, 3, 1), lease_ttl_s=1800)
+    assert moves  # took over and completed
+    # lease was released at the end of the pass
+    assert not fs.exists(lock)
