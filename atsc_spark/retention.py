@@ -333,7 +333,13 @@ class TieredStore:
 
     # ------------------------------------------------------------- read
 
-    def read_series(self, t0=None, t1=None) -> DataFrame:
+    def read_series(
+        self,
+        t0=None,
+        t1=None,
+        conv_ids: list[str] | None = None,
+        metrics: list[str] | None = None,
+    ) -> DataFrame:
         """Unified read across tiers: raw rows ∪ decoded tier0 blocks ∪
         decoded tier1/2 frames.  (Rollup-only days are aggregates and
         are served from read_rollup.)
@@ -356,9 +362,23 @@ class TieredStore:
 
         At the 100 TB tier this is the difference between decoding one
         day and decoding a year for a dashboard query.
+
+        ``conv_ids`` / ``metrics`` restrict the read to those series.
+        They are applied to the COMPRESSED rows (frames/blocks are
+        keyed by (conv_id, metric)), not to the decoded output — a
+        filter after ``mapInPandas`` cannot push through the decoder,
+        so filtering here is what keeps a single-series read from
+        decoding the whole store.
         """
         lo_s = _epoch_s(t0) if t0 is not None else None
         hi_s = _epoch_s(t1) if t1 is not None else None
+
+        def key_bound(df: DataFrame) -> DataFrame:
+            if conv_ids is not None:
+                df = df.filter(F.col("conv_id").isin(list(conv_ids)))
+            if metrics is not None:
+                df = df.filter(F.col("metric").isin(list(metrics)))
+            return df
 
         def day_bound(df: DataFrame) -> DataFrame:
             if lo_s is not None:
@@ -384,15 +404,19 @@ class TieredStore:
         raw = self._read_or_empty("raw")
         if raw is not None:
             parts.append(
-                ts_trim(day_bound(raw).select("conv_id", "metric", "bucket_ts", "value"))
+                ts_trim(
+                    key_bound(day_bound(raw)).select(
+                        "conv_id", "metric", "bucket_ts", "value"
+                    )
+                )
             )
         t0_df = self._read_or_empty("tier0")
         if t0_df is not None:
-            parts.append(ts_trim(decode_lossless(day_bound(t0_df))))
+            parts.append(ts_trim(decode_lossless(key_bound(day_bound(t0_df)))))
         for tier in ("tier1", "tier2"):
             t = self._read_or_empty(tier)
             if t is not None:
-                pruned = day_bound(t)
+                pruned = key_bound(day_bound(t))
                 if lo_s is not None or hi_s is not None:
                     pruned = prune_frames_to_range(
                         pruned,

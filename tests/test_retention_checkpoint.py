@@ -529,3 +529,25 @@ def test_retention_lease_stale_takeover_and_release(spark, series, tmp_path):
     assert moves  # took over and completed
     # lease was released at the end of the pass
     assert not fs.exists(lock)
+
+
+def test_read_series_key_pruning(spark, series, tier1_store):
+    """conv_ids/metrics filters hit the COMPRESSED frame rows (a filter
+    after mapInPandas cannot push through the decoder): the pruned read
+    equals the full read filtered, and the scan reaches the parquet
+    PushedFilters."""
+    one_conv = series.select("conv_id").distinct().limit(1).collect()[0].conv_id
+    full = tier1_store.read_series().filter(
+        (F.col("conv_id") == one_conv) & (F.col("metric") == "turn_rate")
+    )
+    pruned = tier1_store.read_series(conv_ids=[one_conv], metrics=["turn_rate"])
+    a = full.toPandas().sort_values(["bucket_ts"]).reset_index(drop=True)
+    b = pruned.toPandas().sort_values(["bucket_ts"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert np.array_equal(a["value"].to_numpy(), b["value"].to_numpy())
+    # the key predicates reach the frames scan (before decode)
+    plan = _plan_of(pruned)
+    assert "PushedFilters" in plan
+    assert any(
+        "conv_id" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), "conv_id filter did not reach the scan"
