@@ -957,6 +957,71 @@ def q_ivf_ann(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
 
 
+def q_histogram_p95(spark, sf_dir):
+    """Quantile read over the composable histogram cascade: p95 with
+    linear in-bucket interpolation (Prometheus histogram_quantile
+    semantics on fixed bins) from the MERGED 1h->1d histograms — grades
+    the whole sketch path build -> compose -> quantile against an
+    oracle that recomputes identical cumulative/interpolation
+    arithmetic from the raw rows."""
+    from .rollup import histogram_merge, histogram_quantile, histogram_rollup
+
+    series = _events_series(spark, sf_dir)
+    h1h = histogram_rollup(series, "1 hour", lo=0.0, hi=100.0, bins=16)
+    h1d = histogram_merge(h1h, "1 day")
+    return histogram_quantile(h1d, 0.95, lo=0.0, hi=100.0, out_col="p95").select(
+        F.col("conv_id").alias("event_type"), "bucket_ts", "p95"
+    )
+
+
+SQL_HISTOGRAM_P95 = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, sum(value) AS v
+  FROM events GROUP BY 1, 2
+), binned AS (
+  SELECT event_type, date_trunc('day', bt) AS bucket_ts,
+         least(15, greatest(0, CAST(floor((v - 0.0) / 6.25) AS INT))) AS bin
+  FROM b
+), cnts AS (
+  SELECT event_type, bucket_ts, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2, 3
+), cum AS (
+  SELECT event_type, bucket_ts, bin, c,
+         sum(c) OVER (PARTITION BY event_type, bucket_ts ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY event_type, bucket_ts) AS n
+  FROM cnts
+)
+SELECT event_type, bucket_ts,
+       round(0.0::DOUBLE + ((100.0::DOUBLE - 0.0::DOUBLE) / 16.0::DOUBLE) * (
+         CAST(bin AS DOUBLE) + (0.95::DOUBLE * n - (cum - c)) / c
+       ), 4) AS p95
+FROM cum
+WHERE cum >= 0.95::DOUBLE * n AND (cum - c) < 0.95::DOUBLE * n
+"""
+
+
+def q_last_point(spark, sf_dir):
+    """last() per series (TimescaleDB last / PromQL last_over_time at
+    the series grain): max_by keeps one aggregation pass, no window
+    shuffle of the full series."""
+    series = _events_series(spark, sf_dir)
+    return series.groupBy(F.col("conv_id").alias("event_type")).agg(
+        F.max("bucket_ts").alias("last_ts"),
+        F.round(F.expr("max_by(value, bucket_ts)"), 4).alias("last_value"),
+    )
+
+
+SQL_LAST_POINT = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket_ts, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, max(bucket_ts) AS last_ts,
+       round(arg_max(v, bucket_ts), 4) AS last_value
+FROM b GROUP BY 1
+"""
+
+
 def q_ivfpq_ann(spark, sf_dir):
     """IVF×PQ composition at the degenerate-exact config: nprobe ==
     nlist probes every cell and codebook_k >= corpus makes every
@@ -1233,6 +1298,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg": q_moving_avg,
     "counter_increase": q_counter_increase,
     "histogram_cascade": q_histogram_cascade,
+    "histogram_p95": q_histogram_p95,
+    "last_point": q_last_point,
     "rolling_zscore": q_rolling_zscore,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
@@ -1282,6 +1349,8 @@ ORACLES: dict[str, str] = {
     "moving_avg": SQL_MOVING_AVG,
     "counter_increase": SQL_COUNTER_INCREASE,
     "histogram_cascade": SQL_HISTOGRAM_CASCADE,
+    "histogram_p95": SQL_HISTOGRAM_P95,
+    "last_point": SQL_LAST_POINT,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,

@@ -288,6 +288,43 @@ def histogram_merge(hists: DataFrame, interval: str) -> DataFrame:
     )
 
 
+def histogram_quantile(
+    hists: DataFrame,
+    q: float,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Approximate quantile from a composable fixed-bin histogram
+    (:func:`histogram_rollup` / :func:`histogram_merge` output) —
+    Prometheus ``histogram_quantile`` semantics on fixed bins: rank
+    ``q*n``, first bucket whose cumulative count reaches the rank,
+    linear interpolation inside it.
+
+    Pure expressions, no UDF: the cumulative array is an O(bins²)
+    slice-fold (bins is small by construction — 16 here ≈ 136 adds per
+    row), the target bucket is ``size(filter(cums, c < rank))``, and
+    the selected bucket provably has a nonzero count (its cumulative
+    strictly increases past the rank), so the interpolation never
+    divides by zero.  This is the read side of the sketch cascade: the
+    1h→1d merge keeps quantiles maintainable at scale where exact
+    percentiles don't compose.
+    """
+    width = f"(({hi!r}D - {lo!r}D) / cast(size(hist) as double))"
+    cums = (
+        "transform(sequence(1, size(hist)),"
+        " i -> aggregate(slice(hist, 1, i), 0L, (a, x) -> a + x))"
+    )
+    j = f"size(filter({cums}, c -> c < {q!r}D * n))"  # 0-based target bucket
+    prev = f"IF({j} = 0, 0L, element_at({cums}, {j}))"  # element_at(_, 0) raises
+    expr = (
+        f"CASE WHEN n > 0 THEN round({lo!r}D + {width} * ("
+        f"cast({j} as double) + ({q!r}D * n - {prev}) / element_at(hist, {j} + 1)"
+        f"), 4) END"
+    )
+    return hists.select(*KEYS, "bucket_ts", F.expr(expr).alias(out_col))
+
+
 def rolling_zscore(
     series: DataFrame, window_rows: int = 60, value_col: str = "value"
 ) -> DataFrame:

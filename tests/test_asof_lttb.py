@@ -55,3 +55,33 @@ def test_lttb_keeps_extremes(spark):
         # selected points are a subset of the original
         merged = grp.merge(og, on=["conv_id", "metric", "bucket_ts", "value"])
         assert len(merged) == len(grp)
+
+
+def test_histogram_quantile_known_values(spark):
+    """Deterministic check of the in-bucket interpolation: 100 values
+    uniform over [0,100) with 16 bins -> p50 lands where the rank falls
+    inside the covering bucket; degenerate one-bucket histogram
+    interpolates within that bucket; empty histogram yields NULL."""
+    import datetime
+
+    from atsc_spark.rollup import histogram_quantile
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        # uniform-ish: hist with equal counts 4 per bin, n=64
+        ("c", "m", ts, [4] * 16, 64),
+        # all mass in bin 3 ([18.75, 25)): p50 interpolates inside it
+        ("d", "m", ts, [0, 0, 0, 8] + [0] * 12, 8),
+        ("e", "m", ts, [0] * 16, 0),
+    ]
+    hists = spark.createDataFrame(
+        rows,
+        "conv_id string, metric string, bucket_ts timestamp, hist array<long>, n long",
+    )
+    got = {r.conv_id: r.q for r in histogram_quantile(hists, 0.5, out_col="q").collect()}
+    # c: rank 32, bucket 8 covers cum 32..36 exactly at its start:
+    # first bucket with cum >= 32 is bucket 7 (cum 32), frac (32-28)/4=1
+    assert got["c"] == round(0.0 + 6.25 * (7 + (0.5 * 64 - 28) / 4), 4)
+    # d: rank 4 in bin 3: 18.75 + 6.25 * 4/8 = 21.875
+    assert got["d"] == 21.875
+    assert got["e"] is None
