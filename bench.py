@@ -283,6 +283,23 @@ def main() -> None:
     extras["lsh_scale"] = lsh_scale
     extras["lsh_dropped_buckets"] = lsh_scale["docs_100000"]["dropped_buckets"]
 
+    # duplicate clustering at the dup-heavy 10k corpus (untimed;
+    # production fast-path xxhash LSH -> connected components):
+    # connected_components raises on non-convergence, so completing at
+    # all IS the convergence evidence (pointer jumping, O(log n) rounds)
+    t0 = time.time()
+    dup_docs = documents_dupheavy(spark, 10_000)
+    pairs = _dedup.minhash_lsh_candidates(
+        dup_docs, num_hashes=16, bands=4, max_bucket=200
+    )
+    labels = _dedup.connected_components(pairs, dup_docs.select("doc_id"))
+    n_clusters = labels.select("cluster_id").distinct().count()
+    extras["dedup_clusters_10k"] = {
+        "sec": round(time.time() - t0, 2),
+        "docs": 10_000,
+        "clusters": n_clusters,
+    }
+
     total = round(sum(timings.values()), 3)
     events.unpersist()
     print(
