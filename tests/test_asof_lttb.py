@@ -85,3 +85,52 @@ def test_histogram_quantile_known_values(spark):
     # d: rank 4 in bin 3: 18.75 + 6.25 * 4/8 = 21.875
     assert got["d"] == 21.875
     assert got["e"] is None
+
+
+def test_histogram_quantile_matches_numpy_reference(spark):
+    """200 random histograms x 3 quantiles in ONE Spark job, each row
+    checked against an independent numpy implementation of the same
+    semantics (rank q*n, first covering bucket, linear interpolation)."""
+    import datetime
+
+    import numpy as np
+
+    from atsc_spark.rollup import histogram_quantile
+
+    rng = np.random.default_rng(11)
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        bins = int(rng.choice([4, 8, 16]))
+        hist = rng.integers(0, 20, size=bins)
+        if i % 17 == 0:
+            hist[:] = 0  # empty histogram -> NULL
+        if i % 5 == 0:
+            hist[rng.integers(0, bins)] = 0  # holes
+        rows.append((f"g{i}", "m", ts, [int(x) for x in hist], int(hist.sum())))
+    hists = spark.createDataFrame(
+        rows,
+        "conv_id string, metric string, bucket_ts timestamp, hist array<long>, n long",
+    )
+
+    def ref(hist, q, lo=0.0, hi=100.0):
+        hist = np.asarray(hist, dtype=np.int64)
+        n = hist.sum()
+        if n == 0:
+            return None
+        width = (hi - lo) / len(hist)
+        cums = np.cumsum(hist)
+        rank = q * n
+        j = int((cums < rank).sum())
+        prev = 0 if j == 0 else int(cums[j - 1])
+        v = lo + width * (j + (rank - prev) / hist[j])
+        return np.floor(v * 10_000 + 0.5) / 10_000  # HALF_UP like Spark round()
+
+    for q in (0.5, 0.95, 0.99):
+        got = {
+            r.conv_id: r.q
+            for r in histogram_quantile(hists, q, out_col="q").collect()
+        }
+        for cid, _m, _ts, hist, _n in rows:
+            want = ref(hist, q)
+            assert got[cid] == want, (q, cid, hist, got[cid], want)
