@@ -522,13 +522,16 @@ def ivfpq_topk(
     ).mapInPandas(encode, "neighbor_id long, cent_id int, codes array<int>, norm double")
 
     # Probe rows are built driver-side from the collected query set
-    # (small/broadcastable by the same contract as cosine_topk): one row
-    # per (query, probed cell) carrying the shared LUT and q·c.
+    # (small/broadcastable by the same contract as cosine_topk): one
+    # (query, probed cell, q·c) row per probe, and the cell-independent
+    # LUT exactly ONCE per query in a separate broadcast — duplicating
+    # the (nsub × k) table into every probe row would inflate the
+    # broadcast nprobe-fold (128 KB × nprobe per query at k=4096).
     spark = embeddings.sparkSession
     q_rows = queries.select(
         F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
     ).collect()
-    probe_rows = []
+    probe_rows, lut_rows = [], []
     for r in q_rows:
         qv = np.asarray(r.q, dtype=np.float64)
         lut = [
@@ -536,17 +539,22 @@ def ivfpq_topk(
             for j in range(nsub_eff)
         ]
         qn = float(np.sqrt((qv * qv).sum()))
+        lut_rows.append((int(r.query_id), lut, qn))
         qdotc = qv @ Cm.T
         order = np.argsort(-qdotc, kind="stable")[: min(nprobe, len(Cm))]
         for cell in order:
-            probe_rows.append((int(r.query_id), int(cell), float(qdotc[cell]), lut, qn))
+            probe_rows.append((int(r.query_id), int(cell), float(qdotc[cell])))
     q_probe = spark.createDataFrame(
-        probe_rows,
-        "query_id long, cent_id int, qdotc double, lut array<array<double>>, qnorm double",
+        probe_rows, "query_id long, cent_id int, qdotc double"
+    )
+    q_lut = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>, qnorm double"
     )
 
-    joined = codes.join(F.broadcast(q_probe), "cent_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    joined = (
+        codes.join(F.broadcast(q_probe), "cent_id")
+        .join(F.broadcast(q_lut), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     adc = F.aggregate(
         F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),

@@ -60,7 +60,7 @@ class RetentionLockHeld(RuntimeError):
 def _epoch_s(t) -> int:
     """Normalize a range bound (epoch seconds, datetime, or date) to
     int epoch seconds.  Naive datetimes/dates are taken as UTC — the
-    store writes UTC-derived buckets, and the ±1-day widening in
+    store writes UTC-derived buckets, and the ±2-day widening in
     :meth:`TieredStore.read_series` absorbs any session-timezone skew
     at the partition-pruning layer."""
     if isinstance(t, datetime):
@@ -177,30 +177,75 @@ class TieredStore:
     def _lock_path(self):
         return self._fs(self.path("_lock"))
 
-    def _acquire_lease(self, ttl_s: int) -> None:
-        """Single-writer lease via atomic ``createNewFile`` on a
-        ``_lock`` marker.  A second concurrent pass aborts cleanly with
-        :class:`RetentionLockHeld` instead of racing the first one's
-        stage/rename/delete sequence.  A lock whose modification time
-        (heartbeat) is older than ``ttl_s`` is treated as a crashed
-        holder and taken over — the staged-rename commit protocol makes
-        any half-finished pass safe to re-run."""
+    def _read_lock_holder(self) -> str | None:
+        fs, lock = self._lock_path()
+        try:
+            stream = fs.open(lock)
+            try:
+                data = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            return data.decode("utf-8", "replace")
+        except Exception:
+            return None
+
+    def _acquire_lease(self, ttl_s: int) -> str:
+        """Single-writer lease on a ``_lock`` file, acquired with the
+        atomic ``create(path, overwrite=False)`` primitive and carrying
+        the holder's uuid as content.  A second concurrent pass aborts
+        cleanly with :class:`RetentionLockHeld` instead of racing the
+        first one's stage/rename/delete sequence.
+
+        A lock whose modification time (heartbeat) is older than
+        ``ttl_s`` is treated as a crashed holder and taken over — the
+        staged-rename commit protocol makes a half-finished pass safe
+        to re-run.  Takeover re-stats IMMEDIATELY before the delete
+        (only deleting a lock that is still stale, so a freshly
+        acquired competitor is not clobbered on the strength of an old
+        stat), and every acquisition is verified by reading the holder
+        uuid back — if another contender's delete+create interleaved,
+        exactly one of them sees its own uuid and proceeds."""
         import time as _time
+        import uuid as _uuid
 
         fs, lock = self._lock_path()
-        for attempt in (0, 1):
+        holder = _uuid.uuid4().hex
+
+        def try_create() -> bool:
             try:
-                if fs.createNewFile(lock):
-                    return
+                out = fs.create(lock, False)  # atomic create-if-absent
+                try:
+                    out.write(bytearray(holder.encode()))
+                finally:
+                    out.close()
+                return True
             except Exception:
-                pass  # parent dir races / FS quirks fall through to stat
+                return False
+
+        for attempt in (0, 1):
+            if try_create():
+                # verify ownership: a contender that raced the takeover
+                # window may have deleted our lock and created its own
+                if self._read_lock_holder() == holder:
+                    return holder
+                raise RetentionLockHeld(
+                    f"retention lease at {self.path('_lock')} lost to a "
+                    "concurrent takeover"
+                )
             try:
                 st = fs.getFileStatus(lock)
                 age_ms = _time.time() * 1000 - st.getModificationTime()
             except Exception:
                 continue  # holder released between create and stat: retry
             if age_ms > ttl_s * 1000 and attempt == 0:
-                fs.delete(lock, False)  # stale (crashed holder): take over
+                # re-stat just before deleting: only clobber a lock that
+                # is STILL stale (not one a competitor just created)
+                try:
+                    st2 = fs.getFileStatus(lock)
+                    if _time.time() * 1000 - st2.getModificationTime() > ttl_s * 1000:
+                        fs.delete(lock, False)
+                except Exception:
+                    pass
                 continue
             raise RetentionLockHeld(
                 f"retention lease at {self.path('_lock')} held "
@@ -217,8 +262,35 @@ class TieredStore:
         except Exception:
             pass  # heartbeat is best-effort; ttl just ages from last beat
 
-    def _release_lease(self) -> None:
+    def _start_heartbeat(self, ttl_s: int):
+        """Background daemon beating the lease every ttl/3 — a single
+        (source, target) fit job can legitimately run longer than the
+        ttl at large tiers, and a live holder must never look crashed.
+        Returns a stop callable."""
+        import threading
+
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(max(ttl_s / 3.0, 1.0)):
+                self._heartbeat_lease()
+
+        t = threading.Thread(target=beat, name="retention-lease-heartbeat", daemon=True)
+        t.start()
+
+        def cancel():
+            stop.set()
+            t.join(timeout=5)
+
+        return cancel
+
+    def _release_lease(self, holder: str | None = None) -> None:
+        """Delete the lock — only if we still own it (a takeover may
+        have replaced it; deleting the usurper's lock would admit a
+        third writer)."""
         fs, lock = self._lock_path()
+        if holder is not None and self._read_lock_holder() != holder:
+            return
         fs.delete(lock, False)
 
     # -------------------------------------------------------- retention
@@ -240,16 +312,18 @@ class TieredStore:
         winning move — so a raw copy is never overwritten by a tierN
         re-fit of itself.
 
-        Single-writer: a ``_lock`` lease (heartbeated per fit job,
-        ``lease_ttl_s`` stale takeover) makes a concurrent second pass
-        abort with :class:`RetentionLockHeld` instead of double-staging
-        and double-deleting the same days.
+        Single-writer: a ``_lock`` lease (uuid-owned, background
+        heartbeat every ttl/3, ``lease_ttl_s`` stale takeover) makes a
+        concurrent second pass abort with :class:`RetentionLockHeld`
+        instead of double-staging and double-deleting the same days.
         """
-        self._acquire_lease(lease_ttl_s)
+        holder = self._acquire_lease(lease_ttl_s)
+        stop_heartbeat = self._start_heartbeat(lease_ttl_s)
         try:
             return self._retention_pass_locked(today)
         finally:
-            self._release_lease()
+            stop_heartbeat()
+            self._release_lease(holder)
 
     def _retention_pass_locked(self, today: date) -> list[tuple[str, str]]:
         moves: list[tuple[str, str]] = []
@@ -350,8 +424,9 @@ class TieredStore:
 
         1. **day partition pruning** — ``day`` is the partition column,
            so a foldable day-bounds filter makes Catalyst skip whole
-           partition directories at the parquet scan (widened ±1 day so
-           session-timezone drift can never skip a boundary day);
+           partition directories at the parquet scan (widened ±2 days —
+           write/read session timezones can legally differ by up to
+           26 h, so ±1 could skip a boundary day);
         2. **frame-level span pruning** (tier1/2) — the VSRI segment
            metadata gives every frame's min/max timestamp without
            touching the payload (:func:`atsc_spark.frames.prune_frames_to_range`);
@@ -363,6 +438,12 @@ class TieredStore:
         At the 100 TB tier this is the difference between decoding one
         day and decoding a year for a dashboard query.
 
+        A plain :class:`~datetime.date` means the WHOLE day it names:
+        as a lower bound it starts at 00:00:00, as an upper bound it
+        runs through 23:59:59 — so ``read_series(date(2024,1,1),
+        date(2024,1,2))`` is the full two days, not one day plus a
+        single midnight sample.
+
         ``conv_ids`` / ``metrics`` restrict the read to those series.
         They are applied to the COMPRESSED rows (frames/blocks are
         keyed by (conv_id, metric)), not to the decoded output — a
@@ -372,6 +453,12 @@ class TieredStore:
         """
         lo_s = _epoch_s(t0) if t0 is not None else None
         hi_s = _epoch_s(t1) if t1 is not None else None
+        if (
+            hi_s is not None
+            and isinstance(t1, date)
+            and not isinstance(t1, datetime)
+        ):
+            hi_s += 86_400 - 1  # a date upper bound includes its whole day
 
         def key_bound(df: DataFrame) -> DataFrame:
             if conv_ids is not None:
@@ -380,16 +467,21 @@ class TieredStore:
                 df = df.filter(F.col("metric").isin(list(metrics)))
             return df
 
+        # ±2 days, not ±1: session timezones span UTC-12..UTC+14, so a
+        # store written in one TZ and read in another can skew a row's
+        # day partition by up to 26 h relative to the read session's
+        # to_date.  Two days covers the worst legal pair; the exact
+        # bucket_ts trim below makes the extra partition harmless.
         def day_bound(df: DataFrame) -> DataFrame:
             if lo_s is not None:
                 df = df.filter(
                     F.col("day")
-                    >= F.date_sub(F.to_date(F.timestamp_seconds(F.lit(lo_s))), 1)
+                    >= F.date_sub(F.to_date(F.timestamp_seconds(F.lit(lo_s))), 2)
                 )
             if hi_s is not None:
                 df = df.filter(
                     F.col("day")
-                    <= F.date_add(F.to_date(F.timestamp_seconds(F.lit(hi_s))), 1)
+                    <= F.date_add(F.to_date(F.timestamp_seconds(F.lit(hi_s))), 2)
                 )
             return df
 

@@ -306,23 +306,39 @@ def histogram_quantile(
     row), the target bucket is ``size(filter(cums, c < rank))``, and
     the selected bucket provably has a nonzero count (its cumulative
     strictly increases past the rank), so the interpolation never
-    divides by zero.  This is the read side of the sketch cascade: the
-    1h→1d merge keeps quantiles maintainable at scale where exact
-    percentiles don't compose.
+    divides by zero.  The fold and the bucket index are staged as
+    multi-referenced columns so CollapseProject materializes each once
+    per row instead of inlining the fold into every reference (the
+    lambda-body re-evaluation hazard documented at
+    ``dedup._lane_unpack``).  This is the read side of the sketch
+    cascade: the 1h→1d merge keeps quantiles maintainable at scale
+    where exact percentiles don't compose.
     """
     width = f"(({hi!r}D - {lo!r}D) / cast(size(hist) as double))"
-    cums = (
-        "transform(sequence(1, size(hist)),"
-        " i -> aggregate(slice(hist, 1, i), 0L, (a, x) -> a + x))"
+    staged = hists.select(
+        *KEYS,
+        "bucket_ts",
+        "hist",
+        "n",
+        F.expr(
+            "transform(sequence(1, size(hist)),"
+            " i -> aggregate(slice(hist, 1, i), 0L, (a, x) -> a + x))"
+        ).alias("cums"),
+    ).select(
+        *KEYS,
+        "bucket_ts",
+        "hist",
+        "n",
+        "cums",
+        F.expr(f"size(filter(cums, c -> c < {q!r}D * n))").alias("j"),
     )
-    j = f"size(filter({cums}, c -> c < {q!r}D * n))"  # 0-based target bucket
-    prev = f"IF({j} = 0, 0L, element_at({cums}, {j}))"  # element_at(_, 0) raises
+    prev = "IF(j = 0, 0L, element_at(cums, j))"  # element_at(_, 0) raises
     expr = (
         f"CASE WHEN n > 0 THEN round({lo!r}D + {width} * ("
-        f"cast({j} as double) + ({q!r}D * n - {prev}) / element_at(hist, {j} + 1)"
+        f"cast(j as double) + ({q!r}D * n - {prev}) / element_at(hist, j + 1)"
         f"), 4) END"
     )
-    return hists.select(*KEYS, "bucket_ts", F.expr(expr).alias(out_col))
+    return staged.select(*KEYS, "bucket_ts", F.expr(expr).alias(out_col))
 
 
 def rolling_zscore(

@@ -551,3 +551,17 @@ def test_read_series_key_pruning(spark, series, tier1_store):
     assert any(
         "conv_id" in l for l in plan.splitlines() if "PushedFilters" in l
     ), "conv_id filter did not reach the scan"
+
+
+def test_read_series_date_bounds_cover_whole_days(spark, series, tier1_store):
+    """A plain date as the upper bound means THROUGH that day
+    (23:59:59), not midnight at its start — read_series(d0, d1) over
+    the store's first two days returns both full days."""
+    lo = series.agg(F.min("bucket_ts")).collect()[0][0]
+    d0 = lo.date()
+    from datetime import timedelta
+
+    d1 = d0 + timedelta(days=1)
+    got = tier1_store.read_series(d0, d1)
+    want = tier1_store.read_series().filter(F.to_date("bucket_ts").isin([d0, d1]))
+    assert got.count() == want.count() > 0
