@@ -525,3 +525,50 @@ class TieredStore:
 
     def read_rollup(self) -> DataFrame | None:
         return self._read_or_empty("rollup")
+
+    def read_auto(
+        self,
+        t0,
+        t1,
+        max_points: int = 2000,
+        conv_ids: list[str] | None = None,
+        metrics: list[str] | None = None,
+        native_interval_s: int | None = None,
+    ) -> DataFrame:
+        """Resolution-aware read: serve ``[t0, t1]`` at the finest
+        rollup grain that keeps each series under ``max_points`` rows —
+        the dashboard-query entry point (a Grafana-style panel asks for
+        ~1-2k points regardless of whether the span is an hour or a
+        year).
+
+        Grain selection is driver-side arithmetic on the span
+        (native -> 1m -> 1h -> 1d); the data path is the pruned
+        :meth:`read_series` (so only matching partitions/frames decode)
+        followed by one :func:`~atsc_spark.rollup.rollup` aggregation
+        when coarsening is needed.  Native-resolution reads return
+        (conv_id, metric, bucket_ts, value); coarsened reads return the
+        rollup schema (cnt/sum/min/max + avg).  Days already aged to
+        rollup-only are not served here (they hold only 1h aggregates;
+        use :meth:`read_rollup`).
+        """
+        from .rollup import rollup
+
+        lo_s, hi_s = _epoch_s(t0), _epoch_s(t1)
+        if isinstance(t1, date) and not isinstance(t1, datetime):
+            hi_s += 86_400 - 1
+        span_s = max(hi_s - lo_s, 1)
+        base = self.read_series(t0, t1, conv_ids=conv_ids, metrics=metrics)
+        if native_interval_s is not None and span_s // native_interval_s <= max_points:
+            return base  # native cadence already fits the point budget
+        for grain_s, interval in ((60, "1 minute"), (3600, "1 hour"), (86400, "1 day")):
+            if span_s // grain_s <= max_points:
+                return rollup(base, interval)
+        return rollup(base, "1 day")  # a >5-year span: 1d is the coarsest tier
+
+    def choose_resolution(self, span_s: int, max_points: int = 2000) -> str:
+        """The grain :meth:`read_auto` would pick for a span (exposed
+        for tests/UIs)."""
+        for grain_s, interval in ((60, "1 minute"), (3600, "1 hour"), (86400, "1 day")):
+            if span_s // grain_s <= max_points:
+                return interval
+        return "1 day"

@@ -565,3 +565,31 @@ def test_read_series_date_bounds_cover_whole_days(spark, series, tier1_store):
     got = tier1_store.read_series(d0, d1)
     want = tier1_store.read_series().filter(F.to_date("bucket_ts").isin([d0, d1]))
     assert got.count() == want.count() > 0
+
+
+def test_read_auto_resolution_selection(spark, series, tier1_store):
+    """read_auto picks the finest grain under the point budget and
+    aggregates the pruned read: tiny budget -> 1h rows; generous budget
+    + native hint -> raw samples unaggregated."""
+    from datetime import timedelta
+
+    lo = series.agg(F.min("bucket_ts")).collect()[0][0]
+    d0 = lo.date()
+    d1 = d0 + timedelta(days=2)
+    span_s = 3 * 86_400 - 1
+
+    assert tier1_store.choose_resolution(span_s, max_points=100) == "1 hour"
+    assert tier1_store.choose_resolution(span_s, max_points=10) == "1 day"
+    assert tier1_store.choose_resolution(3600, max_points=100) == "1 minute"
+
+    coarse = tier1_store.read_auto(d0, d1, max_points=100, metrics=["turn_rate"])
+    assert "cnt" in coarse.columns  # rollup schema
+    per_series = coarse.groupBy("conv_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_series <= 100
+
+    native = tier1_store.read_auto(
+        d0, d1, max_points=100_000, metrics=["turn_rate"], native_interval_s=20
+    )
+    assert set(native.columns) == {"conv_id", "metric", "bucket_ts", "value"}
+    want = tier1_store.read_series(d0, d1, metrics=["turn_rate"]).count()
+    assert native.count() == want > 0
