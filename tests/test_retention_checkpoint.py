@@ -451,6 +451,11 @@ def test_read_series_range_prunes_partitions_in_plan(spark, series, tier1_store)
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan_lines, "scan shows no PartitionFilters"
     assert any("day" in l and ">=" in l and "<=" in l for l in scan_lines), scan_lines
+    # the pruned file-backed tier read stays shuffle-free end to end:
+    # every pruning layer is a scan-stage filter, decode is mapInPandas
+    import re
+
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), "pruned read shuffled"
 
 
 def test_prune_frames_to_range_span_metadata(spark, series, tier1_store):
