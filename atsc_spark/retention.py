@@ -40,6 +40,7 @@ output.
 
 from __future__ import annotations
 
+import time as _time_mod
 from dataclasses import dataclass, field
 from datetime import date, datetime, timezone
 
@@ -316,6 +317,13 @@ class TieredStore:
         heartbeat every ttl/3, ``lease_ttl_s`` stale takeover) makes a
         concurrent second pass abort with :class:`RetentionLockHeld`
         instead of double-staging and double-deleting the same days.
+
+        Every committed move appends a lineage row (day, source→target,
+        rows in/out, wall) to ``<base>/_lineage`` — the north rule's
+        per-partition lineage + metrics.  Resumability itself is
+        FS-state-driven (the tier directories are the truth; a rerun
+        re-stages only days still in a lower tier), so the log is an
+        observability artifact, not a correctness dependency.
         """
         holder = self._acquire_lease(lease_ttl_s)
         stop_heartbeat = self._start_heartbeat(lease_ttl_s)
@@ -353,8 +361,13 @@ class TieredStore:
         if not plan:
             return moves
 
+        from .checkpoint import CheckpointLog
+
+        lineage = CheckpointLog(self.spark, self.path("_lineage"))
+
         for (source, target), days in sorted(plan.items()):
             self._heartbeat_lease()
+            t_group = _time_mod.time()
             src = self.spark.read.parquet(self.path(source)).filter(
                 F.col("day").isin(days)
             )
@@ -390,6 +403,8 @@ class TieredStore:
                 r["day"]: r["n"]
                 for r in src.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
             }
+            lineage_rows = []
+            wall_ms = int((_time_mod.time() - t_group) * 1000)
             for day in days:
                 if counts.get(day, 0) == 0 and src_counts.get(day, 0) > 0:
                     raise RuntimeError(
@@ -402,6 +417,16 @@ class TieredStore:
                     if dup != target:
                         self._delete_partition(dup, day)
                 moves.append((day.isoformat(), target))
+                lineage_rows.append(
+                    {
+                        "stage": f"retention:{source}->{target}",
+                        "partition_key": day.isoformat(),
+                        "rows_in": src_counts.get(day, 0),
+                        "rows_out": counts.get(day, 0),
+                        "wall_ms": wall_ms,
+                    }
+                )
+            lineage.record(lineage_rows)
             fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
         return moves
 

@@ -598,3 +598,25 @@ def test_read_auto_resolution_selection(spark, series, tier1_store):
     assert set(native.columns) == {"conv_id", "metric", "bucket_ts", "value"}
     want = tier1_store.read_series(d0, d1, metrics=["turn_rate"]).count()
     assert native.count() == want > 0
+
+
+def test_retention_writes_lineage_rows(spark, series, tmp_path):
+    """Each committed move leaves a (day, source->target, rows in/out)
+    lineage row in <base>/_lineage — the north rule's per-partition
+    lineage + metrics for retention."""
+    from atsc_spark.checkpoint import CheckpointLog
+
+    store = TieredStore(
+        spark,
+        str(tmp_path / "lin"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    moves = store.retention_pass(date(2024, 3, 1))
+    assert moves
+    log = CheckpointLog(spark, store.path("_lineage")).read().toPandas()
+    assert len(log) == len(moves)
+    assert set(log.stage) == {"retention:raw->tier0"}
+    assert sorted(log.partition_key) == sorted(d for d, _ in moves)
+    assert (log.rows_in > 0).all() and (log.rows_out > 0).all()
+    assert (log.status == "done").all()
