@@ -1022,6 +1022,34 @@ FROM b GROUP BY 1
 """
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register rows (event_type, reg, maxrank) over
+    distinct user_ids — the composable distinct sketch graded at the
+    INTEGER register level, where both engines are exact (md5-derived
+    register + rank; estimate floats are asserted Spark-side in tests:
+    error bound vs exact distinct + merge==direct composability)."""
+    from .rollup import hll_registers
+
+    return hll_registers(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", p=10
+    ).withColumn("maxrank", F.col("maxrank").cast("long"))
+
+
+SQL_HLL_REGISTERS = """
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM events
+)
+SELECT event_type,
+       CAST(h1 % 1024 AS INT) AS reg,
+       CAST(max(CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END) AS BIGINT)
+         AS maxrank
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_ivfpq_ann(spark, sf_dir):
     """IVF×PQ composition at the degenerate-exact config: nprobe ==
     nlist probes every cell and codebook_k >= corpus makes every
@@ -1300,6 +1328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_cascade": q_histogram_cascade,
     "histogram_p95": q_histogram_p95,
     "last_point": q_last_point,
+    "hll_registers": q_hll_registers,
     "rolling_zscore": q_rolling_zscore,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
@@ -1351,6 +1380,7 @@ ORACLES: dict[str, str] = {
     "histogram_cascade": SQL_HISTOGRAM_CASCADE,
     "histogram_p95": SQL_HISTOGRAM_P95,
     "last_point": SQL_LAST_POINT,
+    "hll_registers": SQL_HLL_REGISTERS,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,
