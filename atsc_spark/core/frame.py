@@ -159,24 +159,45 @@ def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameRe
             return [POLYNOMIAL, RLE]
         return [FFT, POLYNOMIAL, RLE]
 
+    def run_candidates(evaluated: np.ndarray, ev_stats) -> list:
+        # RLE is always the LAST candidate, always reports error 0.0,
+        # and its payload is at least 5 + n_runs bytes (2 header +
+        # vec_len + >=2 per unique + >=1 varint index per run), so it
+        # wins only by being STRICTLY smaller than a passing earlier
+        # candidate.  When one already passes at or under that bound,
+        # the full RLE encode (bit-sort + three varint streams) is
+        # provably dead work — skip it; the selection is identical
+        # (same check as batchfit._cohort_tournament).
+        cands = tournament_candidates(evaluated)
+        results = [
+            (compress_bounded(c, evaluated, max_error, ev_stats), c)
+            for c in cands
+            if c != RLE
+        ]
+        passing_pre = [(r, c) for r, c in results if r[1] <= max_error]
+        skip_rle = False
+        if passing_pre:
+            best_sz = min(len(r[0]) for r, _ in passing_pre)
+            bits = np.ascontiguousarray(evaluated).view(np.uint64)
+            n_runs = int(np.count_nonzero(bits[1:] != bits[:-1])) + 1
+            skip_rle = 5 + n_runs >= best_sz
+        if not skip_rle:
+            results.append((compress_bounded(RLE, evaluated, max_error, ev_stats), RLE))
+        return results
+
     sample_n = COMPRESSION_SPEED[speed]
     if n >= sample_n:
         evaluated = data[:sample_n]
         ev_stats = stats if sample_n >= n else data_stats(evaluated)
-        results = [
-            (compress_bounded(c, evaluated, max_error, ev_stats), c)
-            for c in tournament_candidates(evaluated)
-        ]
+        results = run_candidates(evaluated, ev_stats)
         passing = [(r, c) for r, c in results if r[1] <= max_error]
-        # RLE always reports 0.0, so `passing` is never empty.
+        # RLE always reports 0.0, so `passing` is never empty (when RLE
+        # was skipped, an earlier passing candidate proved it moot).
         (payload, _), chosen = min(passing, key=lambda rc: len(rc[0][0]))
         payload, err = compress_bounded(chosen, data, max_error, stats)
         return FrameResult(chosen, n, payload, err)
 
-    results = [
-        (compress_bounded(c, data, max_error, stats), c)
-        for c in tournament_candidates(data)
-    ]
+    results = run_candidates(data, stats)
     passing = [(r, c) for r, c in results if r[1] <= max_error]
     pool = passing if passing else results
     (payload, err), chosen = min(pool, key=lambda rc: len(rc[0][0]))
