@@ -103,3 +103,49 @@ def lttb_downsample(
 
     schema = series.schema
     return series.groupBy(*keys).applyInPandas(lambda p: lttb(p), schema)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "bucket_ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    by: list[str] | None = None,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Points-in-interval join (half-open ``[start, end)``) as a
+    BUCKETED EQUI-JOIN — never a nested loop.
+
+    A naive ``p.ts >= i.start AND p.ts < i.end`` join has no equi-key,
+    so Spark plans BroadcastNestedLoopJoin — O(|points| × |intervals|)
+    and a driver OOM the moment the interval side stops being tiny.
+    Instead each interval explodes into the fixed-width time buckets it
+    covers, both sides equi-join on (bucket [, by]) — shuffle volume is
+    |points| + Σ buckets-per-interval — and the exact range predicate
+    filters the boundary buckets.  Pick ``bucket_s`` near the typical
+    interval length: explode cost is ceil(span / bucket_s) + 1 rows per
+    interval (a year-long interval at 1h buckets is ~8.8k rows — cap or
+    pre-split pathological spans upstream).
+
+    Output: every points column plus the matched interval's columns
+    (an interval overlapping k points emits k rows; points in no
+    interval are dropped — inner semantics).
+    """
+    by = by or []
+    p_b = points.withColumn(
+        "__b", F.floor(F.col(point_ts).cast("timestamp").cast("double") / bucket_s)
+    )
+    i_b = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("timestamp").cast("double") / bucket_s),
+                F.floor(F.col(end_col).cast("timestamp").cast("double") / bucket_s),
+            )
+        ),
+    )
+    joined = p_b.join(i_b, ["__b", *by]).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("__b")

@@ -1050,6 +1050,59 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Points-in-interval join via the bucketed equi-join formulation
+    (`asof.interval_join` — a naive range join plans
+    BroadcastNestedLoopJoin, O(points × intervals)): which 1-minute
+    series points of EVERY event type fall inside the 90-minute
+    windows opened by 'error' hours with above-average error counts.
+    Both engines build the hot windows deterministically (hour counts
+    vs their global average), so the join output is exact."""
+    from .asof import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    hours = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("h"), "c")
+    )
+    hot = (
+        hours.withColumn("thr", F.avg("c").over(Window.partitionBy()))
+        .filter(F.col("c") > F.col("thr"))
+        .select(
+            F.col("h").alias("win_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("win_end"),
+        )
+    )
+    pts = _events_series(spark, sf_dir).select(
+        F.col("conv_id").alias("event_type"),
+        "bucket_ts",
+        F.round("value", 4).alias("value"),
+    )
+    return interval_join(
+        pts, hot, point_ts="bucket_ts", start_col="win_start", end_col="win_end"
+    ).select("event_type", "bucket_ts", "value", "win_start")
+
+
+SQL_INTERVAL_JOIN = """
+WITH pts AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket_ts, round(sum(value), 4) AS value
+  FROM events GROUP BY 1, 2
+), hrs AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), hot AS (
+  SELECT h AS win_start, h + INTERVAL 90 MINUTE AS win_end
+  FROM (SELECT h, c, avg(c) OVER () AS thr FROM hrs)
+  WHERE c > thr
+)
+SELECT p.event_type, p.bucket_ts, p.value, hot.win_start
+FROM pts p JOIN hot
+  ON p.bucket_ts >= hot.win_start AND p.bucket_ts < hot.win_end
+"""
+
+
 def q_ivfpq_ann(spark, sf_dir):
     """IVF×PQ composition at the degenerate-exact config: nprobe ==
     nlist probes every cell and codebook_k >= corpus makes every
@@ -1329,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_p95": q_histogram_p95,
     "last_point": q_last_point,
     "hll_registers": q_hll_registers,
+    "interval_join": q_interval_join,
     "rolling_zscore": q_rolling_zscore,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
@@ -1381,6 +1435,7 @@ ORACLES: dict[str, str] = {
     "histogram_p95": SQL_HISTOGRAM_P95,
     "last_point": SQL_LAST_POINT,
     "hll_registers": SQL_HLL_REGISTERS,
+    "interval_join": SQL_INTERVAL_JOIN,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,

@@ -134,3 +134,65 @@ def test_histogram_quantile_matches_numpy_reference(spark):
         for cid, _m, _ts, hist, _n in rows:
             want = ref(hist, q)
             assert got[cid] == want, (q, cid, hist, got[cid], want)
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Bucketed formulation == the naive range join, including
+    boundary semantics ([start, end)), multi-bucket spans, overlapping
+    intervals (duplicate matches) and unmatched points (dropped)."""
+    import datetime
+
+    from atsc_spark.asof import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    pts = spark.createDataFrame(
+        [(f"p{m}", ts(m)) for m in range(0, 600, 7)], "pid string, bucket_ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            ("a", ts(0), ts(90)),       # spans 2 hour-buckets
+            ("b", ts(60), ts(61)),      # sub-bucket sliver
+            ("c", ts(30), ts(150)),     # overlaps a
+            ("d", ts(400), ts(400)),    # empty [x, x)
+        ],
+        "iid string, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(pts, iv, bucket_s=3600).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            iv,
+            (pts.bucket_ts >= iv.start_ts) & (pts.bucket_ts < iv.end_ts),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_interval_join_plans_equi_join(spark):
+    """The whole point: the plan must contain a real equi-join on the
+    bucket key, never BroadcastNestedLoopJoin."""
+    import datetime
+    import io
+    from contextlib import redirect_stdout
+
+    from atsc_spark.asof import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([("p", t0)], "pid string, bucket_ts timestamp")
+    iv = spark.createDataFrame(
+        [("i", t0, t0 + datetime.timedelta(hours=2))],
+        "iid string, start_ts timestamp, end_ts timestamp",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        interval_join(pts, iv).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
