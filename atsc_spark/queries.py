@@ -1103,6 +1103,52 @@ FROM pts p JOIN hot
 """
 
 
+def q_seasonal_profile(spark, sf_dir):
+    """Seasonal baseline: mean value per (event_type, day-of-week,
+    hour-of-day) over the 1-minute series — the profile an anomaly
+    detector compares against.  Day/hour indices come from epoch
+    arithmetic (epoch-day mod 7 / in-day hour) and the mean is exact
+    fixed-point (1e-4 units, integer division) — calendar extracts
+    differ in week-start conventions across engines and float means
+    differ in summation order, integer arithmetic does neither."""
+    sec = F.col("bucket_ts").cast("timestamp").cast("long")
+    return (
+        _rounded_series(spark, sf_dir)
+        .groupBy(
+            F.col("conv_id").alias("event_type"),
+            (F.floor(sec / 86400) % 7).cast("long").alias("dow"),
+            F.floor((sec % 86400) / 3600).cast("long").alias("hod"),
+        )
+        .agg(
+            # EXACT fixed-point: 4-decimal values scale to integers,
+            # integer sums and integer division are order-independent —
+            # a float avg() is summed in engine-specific order and its
+            # round() lands either side of .xxxx5 boundaries (measured:
+            # 2 of 840 groups mismatched), so no float ever crosses the
+            # engine boundary here
+            F.expr(
+                "sum(cast(round(value * 10000) as bigint))"
+                " div count(1)"
+            ).alias("avg_value_e4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_SEASONAL_PROFILE = """
+WITH pts AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket_ts, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(floor(epoch(bucket_ts) / 86400) % 7 AS BIGINT) AS dow,
+       CAST(floor((epoch(bucket_ts) % 86400) / 3600) AS BIGINT) AS hod,
+       CAST(sum(CAST(round(v * 10000) AS BIGINT)) // count(*) AS BIGINT) AS avg_value_e4,
+       count(*) AS n
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
 def q_ivfpq_ann(spark, sf_dir):
     """IVF×PQ composition at the degenerate-exact config: nprobe ==
     nlist probes every cell and codebook_k >= corpus makes every
@@ -1383,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_point": q_last_point,
     "hll_registers": q_hll_registers,
     "interval_join": q_interval_join,
+    "seasonal_profile": q_seasonal_profile,
     "rolling_zscore": q_rolling_zscore,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
@@ -1436,6 +1483,7 @@ ORACLES: dict[str, str] = {
     "last_point": SQL_LAST_POINT,
     "hll_registers": SQL_HLL_REGISTERS,
     "interval_join": SQL_INTERVAL_JOIN,
+    "seasonal_profile": SQL_SEASONAL_PROFILE,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,
