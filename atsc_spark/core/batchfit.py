@@ -33,7 +33,7 @@ import numpy as np
 from .fft import FFTFrame, fft_trim, gibbs_sizing
 from .frame import CONSTANT, FFT, POLYNOMIAL, RLE, FrameResult, compress_best
 from .polynomial import POLYNOMIAL_ID, PolynomialFrame
-from .simple import constant_compress, rle_compress
+from .simple import constant_compress, rle_compress, rle_min_bytes
 from .stats import data_stats
 from .utils import round_f64, round_half_away, rust_f64_as_i32
 
@@ -106,23 +106,20 @@ def _cohort_tournament(mat: np.ndarray, max_error: float) -> list[FrameResult]:
         if i in fft_cand:
             candidates.append((fft_cand[i], FFT))
         candidates.append((poly_cand[i], POLYNOMIAL))
-        # RLE pre-check: its payload is at least 5 + n_runs bytes
-        # (2 header + vec_len + >=2 per unique value + >=1 varint index
-        # per run), its error is always 0.0 (so `passing` is never
-        # empty), and the (fft, poly, rle) candidate order means it
-        # must be STRICTLY smaller than a passing earlier candidate to
-        # win.  When a passing candidate is already <= that bound, the
-        # full encode (bit-sort + three varint streams — measured ~1/3
-        # of tournament wall on noisy frames, where n_runs ≈ n and RLE
+        # RLE pre-check: rle_min_bytes lower-bounds its payload, its
+        # error is always 0.0 (so `passing` is never empty), and the
+        # (fft, poly, rle) candidate order means it must be STRICTLY
+        # smaller than a passing earlier candidate to win.  When a
+        # passing candidate is already <= that bound, the full encode
+        # (bit-sort + three varint streams — measured ~1/3 of
+        # tournament wall on noisy frames, where n_runs ≈ n and RLE
         # always loses) is provably dead work and is skipped; the
         # selection result is identical either way.
         rle_needed = True
         passing_pre = [(r, c) for r, c in candidates if r[1] <= max_error]
         if passing_pre:
             best_sz = min(len(r[0]) for r, _ in passing_pre)
-            bits_i = mat[i].view(np.uint64)
-            n_runs = int(np.count_nonzero(bits_i[1:] != bits_i[:-1])) + 1
-            if 5 + n_runs >= best_sz:
+            if rle_min_bytes(mat[i]) >= best_sz:
                 rle_needed = False
         if rle_needed:
             candidates.append((rle_compress(mat[i], stats[i]), RLE))

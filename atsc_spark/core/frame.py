@@ -31,6 +31,7 @@ from .simple import (
     noop_decompress,
     rle_compress,
     rle_decompress,
+    rle_min_bytes,
 )
 from .stats import data_stats
 from .utils import prev_power_of_two
@@ -161,13 +162,12 @@ def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameRe
 
     def run_candidates(evaluated: np.ndarray, ev_stats) -> list:
         # RLE is always the LAST candidate, always reports error 0.0,
-        # and its payload is at least 5 + n_runs bytes (2 header +
-        # vec_len + >=2 per unique + >=1 varint index per run), so it
-        # wins only by being STRICTLY smaller than a passing earlier
-        # candidate.  When one already passes at or under that bound,
-        # the full RLE encode (bit-sort + three varint streams) is
-        # provably dead work — skip it; the selection is identical
-        # (same check as batchfit._cohort_tournament).
+        # and rle_min_bytes lower-bounds its payload, so it wins only
+        # by being STRICTLY smaller than a passing earlier candidate.
+        # When one already passes at or under that bound, the full RLE
+        # encode (bit-sort + three varint streams) is provably dead
+        # work — skip it; the selection is identical (same check as
+        # batchfit._cohort_tournament).
         cands = tournament_candidates(evaluated)
         results = [
             (compress_bounded(c, evaluated, max_error, ev_stats), c)
@@ -178,9 +178,7 @@ def compress_best(data: np.ndarray, max_error: float, speed: int = 0) -> FrameRe
         skip_rle = False
         if passing_pre:
             best_sz = min(len(r[0]) for r, _ in passing_pre)
-            bits = np.ascontiguousarray(evaluated).view(np.uint64)
-            n_runs = int(np.count_nonzero(bits[1:] != bits[:-1])) + 1
-            skip_rle = 5 + n_runs >= best_sz
+            skip_rle = rle_min_bytes(evaluated) >= best_sz
         if not skip_rle:
             results.append((compress_bounded(RLE, evaluated, max_error, ev_stats), RLE))
         return results

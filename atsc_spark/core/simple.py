@@ -92,6 +92,18 @@ def rle_runs(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, v[starts]
 
 
+def rle_min_bytes(data: np.ndarray) -> int:
+    """Cheap LOWER BOUND on ``rle_compress(data)``'s payload size,
+    kept beside the encoder whose layout it describes: 2 header bytes
+    + >=1 vec_len byte + >=2 bytes per unique value (value + count
+    varints, n_uniq >= 1) + >=1 varint index byte per run.  One
+    vectorized bit-compare — no sort, no varint encode — used by the
+    tournament to skip provably-losing full encodes."""
+    bits = np.ascontiguousarray(data).view(np.uint64)
+    n_runs = int(np.count_nonzero(bits[1:] != bits[:-1])) + 1
+    return 5 + n_runs
+
+
 def rle_compress(data: np.ndarray, stats) -> tuple[bytes, float]:
     """Encode runs grouped by value, values in u64-bit order (`rle.rs:142-189`)."""
     starts, values = rle_runs(data)

@@ -404,7 +404,9 @@ class TieredStore:
                 for r in src.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
             }
             lineage_rows = []
-            wall_ms = int((_time_mod.time() - t_group) * 1000)
+            # the group runs as ONE staged job; amortize its wall over
+            # the days so SUM(wall_ms) over the log reads as real wall
+            wall_ms = int((_time_mod.time() - t_group) * 1000) // max(len(days), 1)
             for day in days:
                 if counts.get(day, 0) == 0 and src_counts.get(day, 0) > 0:
                     raise RuntimeError(
@@ -583,17 +585,19 @@ class TieredStore:
             hi_s += 86_400 - 1
         span_s = max(hi_s - lo_s, 1)
         base = self.read_series(t0, t1, conv_ids=conv_ids, metrics=metrics)
-        if native_interval_s is not None and span_s // native_interval_s <= max_points:
+        if (
+            native_interval_s is not None
+            and span_s // native_interval_s + 1 <= max_points
+        ):
             return base  # native cadence already fits the point budget
-        for grain_s, interval in ((60, "1 minute"), (3600, "1 hour"), (86400, "1 day")):
-            if span_s // grain_s <= max_points:
-                return rollup(base, interval)
-        return rollup(base, "1 day")  # a >5-year span: 1d is the coarsest tier
+        return rollup(base, self.choose_resolution(span_s, max_points))
 
     def choose_resolution(self, span_s: int, max_points: int = 2000) -> str:
-        """The grain :meth:`read_auto` would pick for a span (exposed
-        for tests/UIs)."""
+        """The grain :meth:`read_auto` uses for a span — the single
+        source of truth for the grain table.  A span can straddle one
+        more window than ``span // grain`` when it starts mid-bucket,
+        hence the ``+ 1`` in the budget check."""
         for grain_s, interval in ((60, "1 minute"), (3600, "1 hour"), (86400, "1 day")):
-            if span_s // grain_s <= max_points:
+            if span_s // grain_s + 1 <= max_points:
                 return interval
-        return "1 day"
+        return "1 day"  # a >5-year span: 1d is the coarsest tier

@@ -387,10 +387,15 @@ def hll_estimate(
 ) -> DataFrame:
     """Distinct-count estimate from register rows (standard HLL:
     harmonic mean with the alpha_m bias constant; linear counting when
-    the estimate is small and empty registers remain).  Relative error
-    ≈ 1.04/sqrt(m) (~3.3% at p=10)."""
+    the estimate is small and empty registers remain; the 32-bit
+    large-range correction ``-2^32·ln(1 - E/2^32)`` when the estimate
+    approaches the md5-derived 32-bit hash space).  Relative error
+    ≈ 1.04/sqrt(m) (~3.3% at p=10) — the large-range correction keeps
+    that holding toward ~10^9 distincts, where uncorrected hash
+    collisions alone would bias ~-6% at 5·10^8."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    two32 = float(1 << 32)
     agg = registers.groupBy(*group_cols).agg(
         F.sum(F.expr("pow(2.0D, -cast(maxrank as double))")).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
@@ -399,7 +404,12 @@ def hll_estimate(
     denom = F.col("s_present") + zeros.cast("double")  # absent registers add 2^0
     raw = F.lit(alpha * m * m) / denom
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    large = -F.lit(two32) * F.log(F.lit(1.0) - raw / F.lit(two32))
+    est = (
+        F.when((raw <= 2.5 * m) & (zeros > 0), linear)
+        .when(raw > two32 / 30.0, large)
+        .otherwise(raw)
+    )
     return agg.select(*group_cols, F.round(est, 1).alias("approx_distinct"))
 
 
