@@ -1149,6 +1149,44 @@ FROM pts GROUP BY 1, 2, 3
 """
 
 
+def q_gapfill_locf_bounded(spark, sf_dir):
+    """LOCF gap-fill with a fill-reach bound (max_gap_s=600): a bucket
+    more than 10 minutes past the last observation stays NULL instead
+    of carrying a stale value across an outage — the TSDB convention
+    that keeps dashboards from painting flat lines through incidents."""
+    filled = gap_fill(
+        _rounded_series(spark, sf_dir), interval_s=60, strategy="locf", max_gap_s=600
+    )
+    return filled.select(
+        F.col("conv_id").alias("event_type"), "bucket_ts", "value", "is_filled"
+    )
+
+
+SQL_GAPFILL_LOCF_BOUNDED = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bt) AS t0, max(bt) AS t1 FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM bounds
+), j AS (
+  SELECT g.event_type, g.bucket_ts, b.v,
+         last_value(b.v IGNORE NULLS) OVER w AS locf,
+         last_value(CASE WHEN b.v IS NOT NULL THEN epoch(g.bucket_ts) END IGNORE NULLS)
+           OVER w AS prev_t
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bt = g.bucket_ts
+  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_ts,
+       CASE WHEN epoch(bucket_ts) - prev_t <= 600 THEN locf END AS value,
+       (v IS NULL) AS is_filled
+FROM j
+"""
+
+
 def q_ivfpq_ann(spark, sf_dir):
     """IVF×PQ composition at the degenerate-exact config: nprobe ==
     nlist probes every cell and codebook_k >= corpus makes every
@@ -1430,6 +1468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_registers": q_hll_registers,
     "interval_join": q_interval_join,
     "seasonal_profile": q_seasonal_profile,
+    "gapfill_locf_bounded": q_gapfill_locf_bounded,
     "rolling_zscore": q_rolling_zscore,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
@@ -1484,6 +1523,7 @@ ORACLES: dict[str, str] = {
     "hll_registers": SQL_HLL_REGISTERS,
     "interval_join": SQL_INTERVAL_JOIN,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
+    "gapfill_locf_bounded": SQL_GAPFILL_LOCF_BOUNDED,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,

@@ -105,6 +105,7 @@ def gap_fill(
     interval_s: int = 20,
     strategy: str = "locf",
     value_col: str = "value",
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Fill missing buckets on a regular grid.
 
@@ -113,6 +114,13 @@ def gap_fill(
     strategy='linear' — linear interpolation between the surrounding
                         observed points; ends fall back to the nearest
                         observed value.
+
+    ``max_gap_s`` bounds how far a fill may reach: a bucket stays NULL
+    rather than be fabricated across an outage longer than the bound —
+    for locf, when the last observation is more than ``max_gap_s``
+    behind; for linear, when the surrounding observed pair spans more
+    than ``max_gap_s`` (edge buckets measure to their single anchor).
+    Observed buckets are never affected.
 
     Output: ``(conv_id, metric, bucket_ts, value, is_filled)``.
     Implementation is pure window functions — no UDF, no driver loop.
@@ -129,6 +137,11 @@ def gap_fill(
 
     if strategy == "locf":
         value = F.last(value_col, ignorenulls=True).over(w_back)
+        if max_gap_s is not None:
+            epoch = F.unix_timestamp("bucket_ts").cast("double")
+            obs_ts = F.when(F.col(value_col).isNotNull(), epoch)
+            prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
+            value = F.when(epoch - prev_t <= float(max_gap_s), value)
         out = joined.select(
             *KEYS,
             "bucket_ts",
@@ -162,6 +175,15 @@ def gap_fill(
                 prev_v + (next_v - prev_v) * (epoch - prev_t) / (next_t - prev_t)
             )
         )
+        if max_gap_s is not None:
+            bound = float(max_gap_s)
+            span_ok = (
+                F.when(F.col(value_col).isNotNull(), F.lit(True))
+                .when(prev_t.isNull(), next_t - epoch <= bound)
+                .when(next_t.isNull(), epoch - prev_t <= bound)
+                .otherwise(next_t - prev_t <= bound)
+            )
+            interp = F.when(span_ok, interp)
         return joined.select(
             *KEYS,
             "bucket_ts",

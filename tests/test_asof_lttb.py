@@ -196,3 +196,49 @@ def test_interval_join_plans_equi_join(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_gap_fill_max_gap_bounds_fill_reach(spark):
+    """max_gap_s: fills stay NULL across outages longer than the bound
+    — locf measures to the last observation, linear to the surrounding
+    observed pair (edges to their single anchor); observed buckets are
+    never affected."""
+    import datetime
+
+    from atsc_spark.rollup import gap_fill
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # observations at minutes 0, 2, 30 (28-minute outage), grid = 1m
+    rows = [("c", "m", ts(m), float(m)) for m in (0, 2, 30)]
+    s = spark.createDataFrame(
+        rows, "conv_id string, metric string, bucket_ts timestamp, value double"
+    )
+
+    locf = {
+        int((r.bucket_ts - t0).total_seconds() // 60): r.value
+        for r in gap_fill(s, interval_s=60, strategy="locf", max_gap_s=300).collect()
+    }
+    assert locf[0] == 0.0 and locf[2] == 2.0 and locf[30] == 30.0  # observed kept
+    assert locf[1] == 0.0            # 1 min after obs@0: within bound
+    assert locf[7] == 2.0            # 5 min after obs@2: at the bound
+    assert locf[8] is None           # 6 min after obs@2: beyond
+    assert locf[29] is None          # just before obs@30: stale by 27 min
+
+    lin = {
+        int((r.bucket_ts - t0).total_seconds() // 60): r.value
+        for r in gap_fill(s, interval_s=60, strategy="linear", max_gap_s=300).collect()
+    }
+    assert lin[1] == 1.0             # inside the 2-minute observed span
+    assert lin[10] is None           # inside the 28-minute span: beyond bound
+    assert lin[30] == 30.0
+
+    # unbounded behaviour unchanged
+    locf_all = {
+        int((r.bucket_ts - t0).total_seconds() // 60): r.value
+        for r in gap_fill(s, interval_s=60, strategy="locf").collect()
+    }
+    assert locf_all[29] == 2.0
