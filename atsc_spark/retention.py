@@ -432,6 +432,80 @@ class TieredStore:
             fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
         return moves
 
+    # ------------------------------------------------------- compaction
+
+    def compact_tier(
+        self,
+        tier: str = "raw",
+        max_files_per_day: int = 4,
+        lease_ttl_s: int = 1800,
+    ) -> list[str]:
+        """Rewrite day partitions that have accumulated more than
+        ``max_files_per_day`` files into one file per day — the
+        small-files maintenance pass (streaming/append ingestion writes
+        a file per micro-batch/job, and at the 100 TB tier a year of
+        that turns every scan into open()-bound metadata churn).
+
+        ONE Spark job for all days needing compaction: rows hash-
+        partition on ``day`` (all of a day's rows land in one task →
+        one output file per day), staged under ``_staging`` and
+        published with the same per-day atomic rename + validation the
+        retention moves use — readers never see a half-compacted day,
+        a crash leaves both copies, and the same writer lease excludes
+        concurrent retention passes.  Returns the compacted days.
+        """
+        fs, _ = self._fs(self.base)
+        days = []
+        for day in self.tier_days(tier):
+            p = self.spark._jvm.org.apache.hadoop.fs.Path(
+                f"{self.path(tier)}/day={day.isoformat()}"
+            )
+            n_files = sum(
+                1
+                for st in fs.listStatus(p)
+                if st.isFile() and not st.getPath().getName().startswith("_")
+            )
+            if n_files > max_files_per_day:
+                days.append(day)
+        if not days:
+            return []
+
+        holder = self._acquire_lease(lease_ttl_s)
+        stop_heartbeat = self._start_heartbeat(lease_ttl_s)
+        try:
+            fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(self.path("_staging")), True)
+            src = self.spark.read.parquet(self.path(tier)).filter(
+                F.col("day").isin(days)
+            )
+            staging = f"{self.path('_staging')}/{tier}"
+            (
+                src.repartition(len(days), "day")
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(staging)
+            )
+            written = self.spark.read.parquet(staging)
+            counts = {
+                r["day"]: r["n"]
+                for r in written.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            src_counts = {
+                r["day"]: r["n"]
+                for r in src.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            for day in days:
+                if counts.get(day, 0) != src_counts.get(day, 0):
+                    raise RuntimeError(
+                        f"compaction: staged count {counts.get(day, 0)} != "
+                        f"source {src_counts.get(day, 0)} for {day}; kept source"
+                    )
+                self._commit_partition(staging, tier, day)
+            fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
+            return [d.isoformat() for d in days]
+        finally:
+            stop_heartbeat()
+            self._release_lease(holder)
+
     # ------------------------------------------------------------- read
 
     def read_series(

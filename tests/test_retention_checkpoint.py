@@ -620,3 +620,50 @@ def test_retention_writes_lineage_rows(spark, series, tmp_path):
     assert sorted(log.partition_key) == sorted(d for d, _ in moves)
     assert (log.rows_in > 0).all() and (log.rows_out > 0).all()
     assert (log.status == "done").all()
+
+
+def test_compact_tier_merges_small_files(spark, series, tmp_path):
+    """Repeated appends leave many files per day; compaction rewrites
+    each hot day to ONE file via the staged atomic commit with data
+    bit-identical, and is idempotent."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "compact"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    for _ in range(5):  # 5 appends -> >= 5 files per day
+        store.write_raw(series)
+    n = store.read_series().count()
+
+    def files_per_day():
+        fs, _ = store._fs(store.base)
+        out = {}
+        for day in store.tier_days("raw"):
+            p = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{store.path('raw')}/day={day.isoformat()}"
+            )
+            out[day] = sum(
+                1
+                for st in fs.listStatus(p)
+                if st.isFile() and not st.getPath().getName().startswith("_")
+            )
+        return out
+
+    before = files_per_day()
+    assert all(v >= 5 for v in before.values())
+
+    a = store.read_series().toPandas().sort_values(
+        ["conv_id", "metric", "bucket_ts"]
+    ).reset_index(drop=True)
+    compacted = store.compact_tier("raw", max_files_per_day=4)
+    assert sorted(compacted) == sorted(d.isoformat() for d in before)
+    after = files_per_day()
+    assert all(v == 1 for v in after.values()), after
+    b = store.read_series().toPandas().sort_values(
+        ["conv_id", "metric", "bucket_ts"]
+    ).reset_index(drop=True)
+    assert store.read_series().count() == n
+    assert np.array_equal(a["value"].to_numpy(), b["value"].to_numpy())
+
+    # idempotent: nothing left over the threshold
+    assert store.compact_tier("raw", max_files_per_day=4) == []
