@@ -1187,6 +1187,54 @@ FROM j
 """
 
 
+def q_ohlc(spark, sf_dir):
+    """Candlestick aggregate per (event_type, hour): open/close are
+    min_by/max_by selections of existing values (no new float
+    arithmetic crosses the engine boundary), high/low are min/max."""
+    from .rollup import ohlc
+
+    return ohlc(_rounded_series(spark, sf_dir), "1 hour").select(
+        F.col("conv_id").alias("event_type"),
+        "bucket_ts", "open", "high", "low", "close", "n_samples",
+    )
+
+
+SQL_OHLC = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bt, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, date_trunc('hour', bt) AS bucket_ts,
+       arg_min(v, bt) AS open, max(v) AS high, min(v) AS low,
+       arg_max(v, bt) AS close, count(*) AS n_samples
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_counter_rate(spark, sf_dir):
+    """Prometheus rate(): per-hour increase (reset-handled) divided by
+    the bucket span.  The quotient is left UNROUNDED — both engines
+    divide the identical rounded-increase double by the same exact
+    3600, so the result doubles are bit-identical, whereas a second
+    round() could land either side of a boundary."""
+    inc = q_counter_increase(spark, sf_dir)
+    return inc.select(
+        "event_type",
+        "bucket_ts",
+        (F.col("increase") / F.lit(3600.0)).alias("rate_per_sec"),
+        "n_samples",
+    )
+
+
+def _counter_rate_sql() -> str:
+    # deferred: SQL_COUNTER_INCREASE is defined later in this module
+    return f"""
+WITH inc AS ({SQL_COUNTER_INCREASE})
+SELECT event_type, bucket_ts, increase / 3600.0::DOUBLE AS rate_per_sec, n_samples
+FROM inc
+"""
+
+
 def q_ivfpq_ann(spark, sf_dir):
     """IVF×PQ composition at the degenerate-exact config: nprobe ==
     nlist probes every cell and codebook_k >= corpus makes every
@@ -1469,6 +1517,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "seasonal_profile": q_seasonal_profile,
     "gapfill_locf_bounded": q_gapfill_locf_bounded,
+    "ohlc": q_ohlc,
+    "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
@@ -1524,6 +1574,8 @@ ORACLES: dict[str, str] = {
     "interval_join": SQL_INTERVAL_JOIN,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "gapfill_locf_bounded": SQL_GAPFILL_LOCF_BOUNDED,
+    "ohlc": SQL_OHLC,
+    "counter_rate": _counter_rate_sql(),
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pricing_summary": SQL_PRICING,

@@ -363,6 +363,30 @@ def histogram_quantile(
     return staged.select(*KEYS, "bucket_ts", F.expr(expr).alias(out_col))
 
 
+def ohlc(
+    series: DataFrame, interval: str = "1 hour", value_col: str = "value"
+) -> DataFrame:
+    """Open/high/low/close per bucket (the candlestick aggregate —
+    TimescaleDB ``candlestick_agg``): one hash aggregation with
+    ``min_by``/``max_by`` picking the earliest/latest sample's value —
+    no window pass, no self-join, composes with the rollup cascade's
+    shuffle shape."""
+    return (
+        series.groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
+        .agg(
+            F.expr(f"min_by({value_col}, bucket_ts)").alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.expr(f"max_by({value_col}, bucket_ts)").alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *KEYS, F.col("w.start").alias("bucket_ts"),
+            "open", "high", "low", "close", "n_samples",
+        )
+    )
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: list[str],
