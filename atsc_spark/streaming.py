@@ -153,3 +153,45 @@ def stream_series_to_frames(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_transcripts_to_store(
+    spark: SparkSession,
+    input_path: str,
+    store,
+    schema: str = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    bucket: str = "20 seconds",
+    watermark: str = "2 minutes",
+):
+    """Continuous ingestion INTO the tiered store: watch ``input_path``
+    for new transcript parquet, derive watermark-closed series buckets,
+    and append them to the store's raw tier — from where the normal
+    ``retention_pass`` cadence ages them through gorilla/frames/rollup.
+
+    Exactly-once input accounting comes from the file source +
+    checkpointLocation (a restarted query resumes at the committed
+    offset and never re-reads a processed file).  The raw-tier append
+    inside ``foreachBatch`` is at-least-once on a mid-batch CRASH
+    (Spark may replay the last uncommitted batch) — acceptable for the
+    raw tier because downstream fits are per-(conv, metric, day) groups
+    and the duplicate-day dedupe in ``retention_pass`` keeps one copy;
+    an Iceberg sink would upgrade this to exactly-once via idempotent
+    snapshot commits (see atsc_spark.iceberg).
+
+    Returns the StreamingQuery (caller owns awaitTermination/stop).
+    """
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    series = derive_series_stream(stream, bucket, watermark)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write_raw(batch_df)
+
+    return (
+        series.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{store.base}/_stream_checkpoint")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -242,3 +242,46 @@ def test_gap_fill_max_gap_bounds_fill_reach(spark):
         for r in gap_fill(s, interval_s=60, strategy="locf").collect()
     }
     assert locf_all[29] == 2.0
+
+
+def test_interval_join_randomized_vs_naive(spark):
+    """500 random points x 80 random intervals (spans from sub-bucket
+    slivers to multi-day, plus empty and touching-boundary cases) in
+    one batch: bucketed result == naive range join exactly."""
+    import datetime
+
+    import numpy as np
+
+    from atsc_spark.asof import interval_join
+
+    rng = np.random.default_rng(3)
+    t0 = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [
+            (int(i), t0 + datetime.timedelta(seconds=int(rng.integers(0, 7 * 86400))))
+            for i in range(500)
+        ],
+        "pid long, bucket_ts timestamp",
+    )
+    ivs = []
+    for i in range(80):
+        start = int(rng.integers(0, 7 * 86400))
+        span = int(rng.choice([0, 1, 59, 3600, 5401, 86400 * 2]))
+        ivs.append(
+            (
+                int(i),
+                t0 + datetime.timedelta(seconds=start),
+                t0 + datetime.timedelta(seconds=start + span),
+            )
+        )
+    iv = spark.createDataFrame(ivs, "iid long, start_ts timestamp, end_ts timestamp")
+    got = sorted(
+        (r.pid, r.iid) for r in interval_join(pts, iv, bucket_s=3600).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            iv, (pts.bucket_ts >= iv.start_ts) & (pts.bucket_ts < iv.end_ts)
+        ).collect()
+    )
+    assert got == naive and len(got) > 100

@@ -325,3 +325,46 @@ def test_png_committed_fixture():
     blob = open(os.path.join(base, "gradient_24x32.png"), "rb").read()
     expected = np.load(os.path.join(base, "gradient_24x32_pixels.npy"))
     assert np.array_equal(decode_png(blob), expected)
+
+
+def test_stream_transcripts_to_store_and_age(spark, tmp_path):
+    """Continuous ingestion e2e: streamed transcripts land in the raw
+    tier (watermark-closed buckets only), a restart with MORE files
+    appends without re-reading processed ones (checkpoint offsets),
+    and a retention pass then ages the streamed data normally."""
+    from datetime import date
+
+    from atsc_spark.retention import TieredStore, TierPolicy
+    from atsc_spark.streaming import stream_transcripts_to_store
+
+    inp = str(tmp_path / "incoming")
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    t1 = transcripts(spark, n_convs=10, window_days=1)
+    t1.write.mode("overwrite").parquet(inp)
+
+    q = stream_transcripts_to_store(spark, inp, store)
+    q.awaitTermination(120)
+    n1 = store.read_series().count()
+    assert n1 > 0
+
+    # restart with additional files: only the new data is processed
+    t2 = transcripts(spark, n_convs=10, window_days=1, seed=99)
+    t2.write.mode("append").parquet(inp)
+    q2 = stream_transcripts_to_store(spark, inp, store)
+    q2.awaitTermination(120)
+    n2 = store.read_series().count()
+    assert n2 > n1
+
+    # third run with nothing new: no duplicates appended
+    q3 = stream_transcripts_to_store(spark, inp, store)
+    q3.awaitTermination(120)
+    assert store.read_series().count() == n2
+
+    # the streamed raw tier ages through retention like batch data
+    moves = store.retention_pass(date(2024, 6, 1))
+    assert moves and all(t == "tier0" for _, t in moves)
+    assert store.read_series().count() == n2
