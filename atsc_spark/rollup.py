@@ -272,22 +272,27 @@ def histogram_rollup(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")),
     )
-    counts = (
+    # ONE hash aggregation: `bins` conditional sums with map-side
+    # partial aggregation — shuffle volume is groups × bins longs.  The
+    # previous two-level formulation (groupBy (…, bin) then re-group to
+    # assemble the array) shuffled twice: partitioning on (…, w, _b)
+    # does not satisfy (…, w) clustering, so the assembly re-shuffled.
+    counted = (
         series.withColumn("_b", bin_idx)
-        .groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"), F.col("_b"))
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("_b") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{i}")
+                for i in range(bins)
+            ],
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
     )
-    # assemble the dense bin array: aggregate (bin, count) pairs into a
-    # map, then read every index — no UDF, pure built-ins
-    pairs = counts.groupBy(*KEYS, "w").agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("m"),
-        F.sum("_c").alias("n"),
-    )
-    hist = F.array(
-        *[F.coalesce(F.col("m").getItem(i), F.lit(0)).cast("long") for i in range(bins)]
-    )
-    return pairs.select(
-        *KEYS, F.col("w.start").alias("bucket_ts"), hist.alias("hist"), F.col("n").cast("long").alias("n")
+    hist = F.array(*[F.col(f"_c{i}") for i in range(bins)])
+    return counted.select(
+        *KEYS, F.col("w.start").alias("bucket_ts"), hist.alias("hist"), "n"
     )
 
 

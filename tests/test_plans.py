@@ -138,6 +138,38 @@ def test_pq_plan_shuffle_contract(spark):
     assert n_exchanges(q) == 1, "PQ plan must shuffle only for the final top-k"
 
 
+def test_sketch_aggregate_shuffle_contracts(spark):
+    """Composable-aggregate shuffle budgets: histogram build is ONE
+    hash agg (the two-level build re-shuffled — partitioning on
+    (…, bin) does not satisfy (…) clustering); quantile is
+    projection-only on top; merges/estimates re-key and legitimately
+    add one; hll register build and ohlc are one each."""
+    from atsc_spark.fixtures import monitoring_series
+    from atsc_spark.rollup import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        histogram_merge,
+        histogram_quantile,
+        histogram_rollup,
+        ohlc,
+    )
+
+    s = monitoring_series(spark, n_series=4, samples_per_series=128)
+    base = n_exchanges(s)
+    h1 = histogram_rollup(s, "1 hour")
+    assert n_exchanges(h1) == base + 1
+    assert n_exchanges(histogram_quantile(h1, 0.95)) == base + 1
+    assert n_exchanges(histogram_merge(h1, "1 day")) == base + 2
+    assert n_exchanges(ohlc(s, "1 hour")) == base + 1
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("g").alias("g"))
+    regs = hll_registers(docs, ["g"], "doc_id")
+    assert n_exchanges(regs) == 1
+    assert n_exchanges(hll_merge(regs, ["g"])) == 2
+    assert n_exchanges(hll_estimate(regs, ["g"])) == 2
+
+
 def test_ivfpq_plan_shuffle_contract(spark):
     """The IVF×PQ composition keeps the same contract as its halves:
     cell assignment + residual encode is one shuffle-free mapInPandas
