@@ -432,6 +432,192 @@ def pq_topk(
     )
 
 
+class IvfPqModel:
+    """Driver-side IVF×PQ model: coarse centroids (nlist × dim) and
+    residual codebooks (nsub × k × dsub), both plain float64 arrays —
+    a few MB at production configs, trivially (de)serializable with
+    ``np.savez``/``np.load`` next to the persisted codes table."""
+
+    def __init__(self, centroids, codebooks):
+        import numpy as np
+
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        np.savez(path, centroids=self.centroids, codebooks=self.codebooks)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfPqModel":
+        import numpy as np
+
+        d = np.load(path if path.endswith(".npz") else path + ".npz")
+        return cls(d["centroids"], d["codebooks"])
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    nsub: int = 4,
+    codebook_k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 0,
+) -> tuple[DataFrame, IvfPqModel]:
+    """Build the IVF×PQ index ONCE: returns the codes table
+    ``(neighbor_id, cent_id, codes, norm)`` — the 10⁹-vector
+    representation, meant to be persisted to parquet and queried
+    file-backed — plus the driver-side model.  One shuffle-free
+    ``mapInPandas`` pass over the corpus (see :func:`ivfpq_topk`)."""
+    import numpy as np
+    import pandas as pd
+
+    Cm = np.asarray(
+        kmeans_centroids(
+            embeddings, nlist, sample_size, kmeans_iters, id_col, vec_col, seed
+        ),
+        dtype=np.float64,
+    )
+    X = _sample_vectors(embeddings, sample_size, id_col, vec_col)
+    cells = (X @ Cm.T).argmax(axis=1)
+    books = _pq_lloyd(X - Cm[cells], nsub, codebook_k, kmeans_iters, seed)
+    model = IvfPqModel(Cm, books)
+    return _ivfpq_encode(embeddings, model, id_col, vec_col), model
+
+
+def _ivfpq_encode(
+    embeddings: DataFrame, model: IvfPqModel, id_col: str, vec_col: str
+) -> DataFrame:
+    """Single shuffle-free mapInPandas pass: cell assignment (argmax
+    dot, first-index tie-break — same rule the codebook training used)
+    + residual PQ codes + exact L2 norm, model arrays as closure data
+    (never plan literals)."""
+    import numpy as np
+    import pandas as pd
+
+    Cm, books = model.centroids, model.codebooks
+    nsub_eff, k_eff, dsub = books.shape
+    half_norms = [(books[j] * books[j]).sum(axis=1) / 2.0 for j in range(nsub_eff)]
+
+    def encode(batches):
+        for pdf in batches:
+            Xb = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if len(Xb) == 0:
+                yield pd.DataFrame(columns=["neighbor_id", "cent_id", "codes", "norm"])
+                continue
+            cells_b = (Xb @ Cm.T).argmax(axis=1)
+            Rb = Xb - Cm[cells_b]
+            codes_b = np.empty((len(Xb), nsub_eff), dtype=np.int32)
+            for j in range(nsub_eff):
+                Rj = Rb[:, j * dsub : (j + 1) * dsub]
+                codes_b[:, j] = (Rj @ books[j].T - half_norms[j][None, :]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cent_id": cells_b.astype(np.int32),
+                    "codes": list(codes_b),
+                    "norm": np.sqrt((Xb * Xb).sum(axis=1)),
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), _as_double(vec_col).alias("v")
+    ).mapInPandas(encode, "neighbor_id long, cent_id int, codes array<int>, norm double")
+
+
+def ivfpq_query(
+    codes: DataFrame,
+    model: IvfPqModel,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Query a built (typically file-backed) IVF×PQ codes table: probe
+    ``nprobe`` cells per query, ADC-score against broadcast per-query
+    LUTs, optional exact rerank against the original ``embeddings``
+    (required when ``rerank`` is set).  Same semantics and plan shape
+    as :func:`ivfpq_topk` — the index build cost is paid once, not per
+    query batch."""
+    import numpy as np
+
+    Cm, books = model.centroids, model.codebooks
+    nsub_eff, k_eff, dsub = books.shape
+    spark = codes.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
+    ).collect()
+    probe_rows, lut_rows = [], []
+    for r in q_rows:
+        qv = np.asarray(r.q, dtype=np.float64)
+        lut = [
+            [float(x) for x in qv[j * dsub : (j + 1) * dsub] @ books[j].T]
+            for j in range(nsub_eff)
+        ]
+        qn = float(np.sqrt((qv * qv).sum()))
+        lut_rows.append((int(r.query_id), lut, qn))
+        qdotc = qv @ Cm.T
+        order = np.argsort(-qdotc, kind="stable")[: min(nprobe, len(Cm))]
+        for cell in order:
+            probe_rows.append((int(r.query_id), int(cell), float(qdotc[cell])))
+    q_probe = spark.createDataFrame(
+        probe_rows, "query_id long, cent_id int, qdotc double"
+    )
+    q_lut = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>, qnorm double"
+    )
+
+    joined = (
+        codes.join(F.broadcast(q_probe), "cent_id")
+        .join(F.broadcast(q_lut), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    adc = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round((F.col("qdotc") + adc) / (F.col("qnorm") * F.col("norm")), 4)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "rnk", "neighbor_id", "cosine")
+        )
+    if embeddings is None:
+        raise ValueError("rerank requires the original embeddings DataFrame")
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), _as_double(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
+    )
+    cand = F.broadcast(shortlist).join(corpus, "neighbor_id").join(F.broadcast(q), "query_id")
+    exact = F.round(
+        F.expr(_DOT) / (F.expr(_NORM.format(c="q")) * F.expr(_NORM.format(c="v"))), 4
+    )
+    rescored = cand.select("query_id", "neighbor_id", exact.alias("cosine"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -476,121 +662,22 @@ def ivfpq_topk(
     shortlist — the corpus side never shuffles).
     """
     import numpy as np
-    import pandas as pd
 
-    C = (
-        centroids
-        if centroids is not None
-        else kmeans_centroids(
+    if centroids is None:
+        centroids = kmeans_centroids(
             embeddings, nlist, sample_size, kmeans_iters, id_col, vec_col, seed
         )
-    )
-    Cm = np.asarray(C, dtype=np.float64)
+    Cm = np.asarray(centroids, dtype=np.float64)
     if codebooks is None:
         # train PQ on sampled residuals, assigned with the same argmax
         # (first-index tie-break) the distributed encoder uses
         X = _sample_vectors(embeddings, sample_size, id_col, vec_col)
         cells = (X @ Cm.T).argmax(axis=1)
         codebooks = _pq_lloyd(X - Cm[cells], nsub, codebook_k, kmeans_iters, seed)
-    books = np.asarray(codebooks, dtype=np.float64)
-    nsub_eff, k_eff, dsub = books.shape
-    half_norms = [(books[j] * books[j]).sum(axis=1) / 2.0 for j in range(nsub_eff)]
-
-    def encode(batches):
-        for pdf in batches:
-            Xb = np.array(pdf["v"].tolist(), dtype=np.float64)
-            if len(Xb) == 0:
-                yield pd.DataFrame(columns=["neighbor_id", "cent_id", "codes", "norm"])
-                continue
-            cells_b = (Xb @ Cm.T).argmax(axis=1)
-            Rb = Xb - Cm[cells_b]
-            codes_b = np.empty((len(Xb), nsub_eff), dtype=np.int32)
-            for j in range(nsub_eff):
-                Rj = Rb[:, j * dsub : (j + 1) * dsub]
-                codes_b[:, j] = (Rj @ books[j].T - half_norms[j][None, :]).argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "cent_id": cells_b.astype(np.int32),
-                    "codes": list(codes_b),
-                    "norm": np.sqrt((Xb * Xb).sum(axis=1)),
-                }
-            )
-
-    codes = embeddings.select(
-        F.col(id_col).cast("long").alias("neighbor_id"), _as_double(vec_col).alias("v")
-    ).mapInPandas(encode, "neighbor_id long, cent_id int, codes array<int>, norm double")
-
-    # Probe rows are built driver-side from the collected query set
-    # (small/broadcastable by the same contract as cosine_topk): one
-    # (query, probed cell, q·c) row per probe, and the cell-independent
-    # LUT exactly ONCE per query in a separate broadcast — duplicating
-    # the (nsub × k) table into every probe row would inflate the
-    # broadcast nprobe-fold (128 KB × nprobe per query at k=4096).
-    spark = embeddings.sparkSession
-    q_rows = queries.select(
-        F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
-    ).collect()
-    probe_rows, lut_rows = [], []
-    for r in q_rows:
-        qv = np.asarray(r.q, dtype=np.float64)
-        lut = [
-            [float(x) for x in qv[j * dsub : (j + 1) * dsub] @ books[j].T]
-            for j in range(nsub_eff)
-        ]
-        qn = float(np.sqrt((qv * qv).sum()))
-        lut_rows.append((int(r.query_id), lut, qn))
-        qdotc = qv @ Cm.T
-        order = np.argsort(-qdotc, kind="stable")[: min(nprobe, len(Cm))]
-        for cell in order:
-            probe_rows.append((int(r.query_id), int(cell), float(qdotc[cell])))
-    q_probe = spark.createDataFrame(
-        probe_rows, "query_id long, cent_id int, qdotc double"
-    )
-    q_lut = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>, qnorm double"
-    )
-
-    joined = (
-        codes.join(F.broadcast(q_probe), "cent_id")
-        .join(F.broadcast(q_lut), "query_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    adc = F.aggregate(
-        F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round((F.col("qdotc") + adc) / (F.col("qnorm") * F.col("norm")), 4)
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    if rerank is None:
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "rnk", "neighbor_id", "cosine")
-        )
-
-    shortlist = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    corpus = embeddings.select(
-        F.col(id_col).cast("long").alias("neighbor_id"), _as_double(vec_col).alias("v")
-    )
-    q = queries.select(
-        F.col(id_col).cast("long").alias("query_id"), _as_double(vec_col).alias("q")
-    )
-    cand = F.broadcast(shortlist).join(corpus, "neighbor_id").join(F.broadcast(q), "query_id")
-    exact = F.round(
-        F.expr(_DOT) / (F.expr(_NORM.format(c="q")) * F.expr(_NORM.format(c="v"))), 4
-    )
-    rescored = cand.select("query_id", "neighbor_id", exact.alias("cosine"))
-    return (
-        rescored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "cosine")
+    model = IvfPqModel(Cm, codebooks)
+    codes = _ivfpq_encode(embeddings, model, id_col, vec_col)
+    return ivfpq_query(
+        codes, model, queries, k, nprobe, id_col, vec_col, rerank, embeddings
     )
 
 

@@ -191,6 +191,46 @@ def test_ivfpq_compressing_recall_clustered(spark):
     assert recall >= 0.85, f"recall@5 {recall:.3f}"
 
 
+def test_ivfpq_build_persist_query(spark, tmp_path):
+    """The build-once/query-many split: codes persisted to parquet and
+    the model through npz roundtrip exactly; querying the FILE-BACKED
+    codes at the degenerate config equals brute force, with the same
+    1-Exchange plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from atsc_spark.datapipe.similarity import (
+        IvfPqModel,
+        cosine_topk,
+        ivfpq_build,
+        ivfpq_query,
+    )
+
+    emb = _emb(spark)
+    codes, model = ivfpq_build(emb, nlist=8, nsub=4, codebook_k=4096)
+    codes.write.parquet(str(tmp_path / "codes"))
+    model.save(str(tmp_path / "model"))
+
+    stored = spark.read.parquet(str(tmp_path / "codes"))
+    loaded = IvfPqModel.load(str(tmp_path / "model"))
+    assert (loaded.centroids == model.centroids).all()
+    assert (loaded.codebooks == model.codebooks).all()
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = ivfpq_query(stored, loaded, q, k=5, nprobe=8)
+    # plan BEFORE the action: after execution, explain shows the final
+    # adaptive plan whose reused/materialized exchanges print extra
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", buf.getvalue(), re.M))
+    assert n_ex == 1, "file-backed IVF×PQ query must shuffle only for the top-k"
+
+    exact = sorted(tuple(r) for r in cosine_topk(emb, q, k=5).collect())
+    assert sorted(tuple(r) for r in got.collect()) == exact
+
+
 def test_pq_codes_shape_and_determinism(spark):
     from atsc_spark.datapipe.similarity import pq_codebooks, pq_encode
 
