@@ -299,6 +299,218 @@ def encode_png(px: np.ndarray, filter_mix: bool = True) -> bytes:
     )
 
 
+def decode_gif(content: bytes) -> tuple[np.ndarray, list[int]]:
+    """Real GIF decoder — stdlib-only LZW, no Pillow: returns
+    ``(frames, delays_ms)`` with frames shaped (n, h, w, 3) uint8.
+
+    Supports GIF87a/89a, global and local color tables, interlacing,
+    frame offsets (composited onto the previous canvas — disposal
+    "do not dispose" semantics, the common animated case), and the
+    graphic-control transparency index.  Per-code LZW runs in Python —
+    this is the small-asset real-bytes path; a production cluster
+    swaps in PyAV for video proper (see sample_video_frames)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad magic)")
+    W, H = struct.unpack("<HH", content[6:10])
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    def lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+        clear = 1 << min_code_size
+        end = clear + 1
+        out = np.empty(n_pixels, dtype=np.uint16)
+        n_out = 0
+        table: list[bytes] = []
+
+        def reset_table():
+            nonlocal table, code_size, next_code
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            next_code = end + 1
+
+        code_size = min_code_size + 1
+        next_code = end + 1
+        reset_table()
+        acc = 0
+        nbits = 0
+        prev: bytes | None = None
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= code_size:
+                code = acc & ((1 << code_size) - 1)
+                acc >>= code_size
+                nbits -= code_size
+                if code == clear:
+                    reset_table()
+                    prev = None
+                    continue
+                if code == end:
+                    return out[:n_out]
+                if code < len(table) and (code < clear or table[code]):
+                    entry = table[code]
+                elif code == next_code and prev is not None:
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError(f"gif: bad LZW code {code}")
+                take = min(len(entry), n_pixels - n_out)
+                out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+                n_out += take
+                if n_out >= n_pixels:
+                    return out[:n_out]
+                if prev is not None and next_code < 4096:
+                    table.append(prev + entry[:1])
+                    next_code += 1
+                    if next_code == (1 << code_size) and code_size < 12:
+                        code_size += 1
+                prev = entry
+        return out[:n_out]
+
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)
+    delay_ms = 0
+    transparent: int | None = None
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = content[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = content[pos]
+                flags = content[pos + 1]
+                delay_ms = struct.unpack("<H", content[pos + 2 : pos + 4])[0] * 10
+                transparent = content[pos + 4] if flags & 1 else None
+                pos += size + 1
+            while content[pos] != 0:  # skip (remaining) sub-blocks
+                pos += content[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        x0, y0, w, h = struct.unpack("<HHHH", content[pos + 1 : pos + 9])
+        ipacked = content[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("gif: no color table")
+        min_code_size = content[pos]
+        pos += 1
+        blob = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            blob += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = lzw_decode(min_code_size, bytes(blob), w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        px = table[np.minimum(idx, len(table) - 1)]
+        region = canvas[y0 : y0 + h, x0 : x0 + w]
+        if transparent is not None:
+            mask = (idx != transparent)[..., None]
+            region[:] = np.where(mask, px, region)
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        delays.append(delay_ms)
+    if not frames:
+        raise ValueError("gif: no image frames")
+    return np.stack(frames), delays
+
+
+def encode_gif(
+    frames: np.ndarray, delays_ms: list[int] | None = None
+) -> bytes:
+    """Minimal valid GIF89a encoder for fixtures/tests: 256-entry
+    palette built from the frames (assumes <= 256 distinct colors, as
+    synthetic fixtures have), LZW stream in the fixed-code-size form
+    (literal index codes with a CLEAR emitted before the width would
+    have to grow) — decodable by any conformant reader."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = frames[None]
+    n, h, w, _ = frames.shape
+    colors, inverse = np.unique(frames.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif fixture encoder supports <= 256 colors")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    idx_frames = inverse.astype(np.uint16).reshape(n, h, w)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # gct present, 256 entries
+    out += pal.tobytes()
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    for f in range(n):
+        delay = (delays_ms or [100] * n)[f] // 10
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", delay) + bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        out += bytes([mcs])
+        # Fixed-width literal codes with periodic CLEARs.  The pack
+        # loop SIMULATES the decoder's table bookkeeping exactly — in
+        # particular the first code after a CLEAR appends nothing (the
+        # decoder has no `prev` yet), so width growth lags one code
+        # behind a naive count; desyncing that by one corrupts every
+        # conformant decoder's read width.
+        bits = bytearray()
+        acc = nbits = 0
+        code_size = mcs + 1
+        next_code = end + 1
+        have_prev = False
+
+        def emit(c: int) -> None:
+            nonlocal acc, nbits
+            acc |= c << nbits
+            nbits += code_size
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for v in idx_frames[f].ravel():
+            if next_code >= 1022:  # keep codes at 9-10 bits
+                emit(clear)
+                code_size = mcs + 1
+                next_code = end + 1
+                have_prev = False
+            emit(int(v))
+            if have_prev and next_code < 4096:
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            have_prev = True
+        emit(end)
+        if nbits:
+            bits.append(acc & 0xFF)
+        for i in range(0, len(bits), 255):
+            chunk = bits[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
 def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decode: pseudo-pixels seeded by the blob
     digest.  Stands in for Pillow/cv2 (not installed here)."""
@@ -391,18 +603,39 @@ def decode_and_featurize_audio(media: DataFrame, n_bands: int = 8) -> DataFrame:
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing: emits one row per sampled frame with a
-    deterministic per-frame digest (the stub for actual PyAV frame
-    extraction).  Row explosion happens executor-side in the UDF, so a
-    long video never materializes as one driver row."""
+    """Frame sampling: GIF payloads get a REAL decode (stdlib LZW,
+    :func:`decode_gif`) — frames are selected by their cumulative
+    delays and the digest is of the actual decoded pixels.  Other
+    containers (MP4 etc.) stay on the deterministic-digest stub until
+    PyAV is available (STRICT mode raises instead).  Row explosion
+    happens executor-side in the UDF, so a long video never
+    materializes as one driver row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
-                if STRICT:
-                    raise NotImplementedError("video decoding requires PyAV")
                 content = bytes(row.content)
+                if content[:4] == b"GIF8":
+                    frames, delays = decode_gif(content)
+                    starts = np.concatenate(
+                        [[0], np.cumsum(np.maximum(delays, 1))[:-1]]
+                    )
+                    total = int(starts[-1] + max(delays[-1], 1))
+                    for i, ts in enumerate(range(0, total, every_ms)):
+                        fi = int(np.searchsorted(starts, ts, side="right") - 1)
+                        digest = hashlib.sha256(frames[fi].tobytes()).hexdigest()[:16]
+                        rows.append(
+                            {
+                                "media_id": row.media_id,
+                                "frame_idx": i,
+                                "frame_ts_ms": ts,
+                                "frame_sha": digest,
+                            }
+                        )
+                    continue
+                if STRICT:
+                    raise NotImplementedError("non-GIF video decoding requires PyAV")
                 duration = int(row.duration_ms or 0)
                 for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
                     digest = hashlib.sha256(content + struct.pack("<I", i)).hexdigest()[:16]
