@@ -616,8 +616,17 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             rows = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
+                gif_ok = False
                 if content[:4] == b"GIF8":
-                    frames, delays = decode_gif(content)
+                    try:
+                        frames, delays = decode_gif(content)
+                        gif_ok = True
+                    except (ValueError, IndexError, struct.error):
+                        # a corrupt blob must not kill a corpus-scale
+                        # job — fall through to the digest stub (STRICT
+                        # below still surfaces it loudly)
+                        gif_ok = False
+                if gif_ok:
                     starts = np.concatenate(
                         [[0], np.cumsum(np.maximum(delays, 1))[:-1]]
                     )

@@ -433,3 +433,24 @@ def test_sample_video_frames_real_gif(spark):
         assert strict_out == 2  # real decode path: STRICT is satisfied
     finally:
         mm.STRICT = old
+
+
+def test_sample_video_frames_corrupt_gif_does_not_kill_job(spark):
+    """A truncated/corrupt GIF blob falls back to the digest stub (one
+    bad blob must not fail a corpus-scale job); STRICT surfaces it."""
+    from atsc_spark.datapipe import multimodal as mm
+
+    good = open("tests/fixtures/anim_24x32.gif", "rb").read()
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(good), 200),
+            (2, "video", bytearray(good[:40]), 200),  # truncated mid-header
+        ],
+        "media_id long, kind string, content binary, duration_ms long",
+    )
+    out = mm.sample_video_frames(media, every_ms=100).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2  # real path unaffected
+    assert len(by_id[2]) == 2  # stub path emitted rows, job survived
