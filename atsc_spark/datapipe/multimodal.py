@@ -312,6 +312,11 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, list[int]]:
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad magic)")
     W, H = struct.unpack("<HH", content[6:10])
+    if W * H > 64_000_000:
+        # validate before allocating: a 40-byte blob can DECLARE
+        # 65535x65535 and a many-frame loop multiplies the canvas —
+        # reject the decompression bomb instead of dying on the alloc
+        raise ValueError(f"gif: declared canvas {W}x{H} exceeds decoder limit")
     packed = content[10]
     pos = 13
     gct = None
@@ -325,7 +330,11 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, list[int]]:
         end = clear + 1
         out = np.empty(n_pixels, dtype=np.uint16)
         n_out = 0
-        table: list[bytes] = []
+        # table/code_size/next_code are owned by reset_table — the one
+        # authoritative initializer (also invoked per CLEAR code)
+        table: list[bytes]
+        code_size: int
+        next_code: int
 
         def reset_table():
             nonlocal table, code_size, next_code
@@ -333,8 +342,6 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, list[int]]:
             code_size = min_code_size + 1
             next_code = end + 1
 
-        code_size = min_code_size + 1
-        next_code = end + 1
         reset_table()
         acc = 0
         nbits = 0
@@ -431,6 +438,11 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, list[int]]:
             region[:] = px
         frames.append(canvas.copy())
         delays.append(delay_ms)
+        # GIF89a: a graphic control extension applies ONLY to the next
+        # rendering block — stale transparency/delay must not leak into
+        # frames that carry no GCE of their own
+        delay_ms = 0
+        transparent = None
     if not frames:
         raise ValueError("gif: no image frames")
     return np.stack(frames), delays
@@ -617,15 +629,16 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
                 gif_ok = False
+                gif_err: Exception | None = None
                 if content[:4] == b"GIF8":
                     try:
                         frames, delays = decode_gif(content)
                         gif_ok = True
-                    except (ValueError, IndexError, struct.error):
+                    except (ValueError, IndexError, struct.error, MemoryError) as exc:
                         # a corrupt blob must not kill a corpus-scale
                         # job — fall through to the digest stub (STRICT
-                        # below still surfaces it loudly)
-                        gif_ok = False
+                        # below surfaces the REAL cause loudly)
+                        gif_err = exc
                 if gif_ok:
                     starts = np.concatenate(
                         [[0], np.cumsum(np.maximum(delays, 1))[:-1]]
@@ -644,6 +657,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         )
                     continue
                 if STRICT:
+                    if gif_err is not None:
+                        raise ValueError(f"corrupt GIF payload: {gif_err}") from gif_err
                     raise NotImplementedError("non-GIF video decoding requires PyAV")
                 duration = int(row.duration_ms or 0)
                 for i, ts in enumerate(range(0, max(duration, 1), every_ms)):

@@ -663,6 +663,16 @@ def ivfpq_topk(
     """
     import numpy as np
 
+    if centroids is None and codebooks is None:
+        # the default path IS ivfpq_build — one training implementation,
+        # so the sampling/tie-break rules cannot drift between entrances
+        codes, model = ivfpq_build(
+            embeddings, nlist, nsub, codebook_k, id_col, vec_col,
+            sample_size, kmeans_iters, seed,
+        )
+        return ivfpq_query(
+            codes, model, queries, k, nprobe, id_col, vec_col, rerank, embeddings
+        )
     if centroids is None:
         centroids = kmeans_centroids(
             embeddings, nlist, sample_size, kmeans_iters, id_col, vec_col, seed

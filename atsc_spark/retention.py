@@ -336,6 +336,9 @@ class TieredStore:
     def _retention_pass_locked(self, today: date) -> list[tuple[str, str]]:
         moves: list[tuple[str, str]] = []
 
+        # finish/roll back any crashed compaction FIRST (its backups
+        # live outside _staging precisely so this wipe stays safe)
+        self._recover_compaction()
         # clear staging leftovers from any crashed previous pass —
         # nothing in _staging is ever committed, so this is safe
         fs, staging_root = self._fs(self.path("_staging"))
@@ -434,10 +437,52 @@ class TieredStore:
 
     # ------------------------------------------------------- compaction
 
+    def _jpath(self, p: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _list_day_files(self, tier: str, day: date) -> set[tuple[str, int]]:
+        """(name, length) of the data files in a day dir — the change
+        detector for concurrent appends."""
+        fs, _ = self._fs(self.base)
+        out = set()
+        try:
+            for st in fs.listStatus(self._jpath(f"{self.path(tier)}/day={day.isoformat()}")):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith("_"):
+                    out.add((name, int(st.getLen())))
+        except Exception:
+            pass
+        return out
+
+    def _recover_compaction(self) -> None:
+        """Finish or roll back a crashed compaction: for every day
+        parked under ``_compact_old``, restore it if the live day dir
+        vanished (crash between the two renames), else drop the backup
+        (the new copy committed).  Runs at the start of every
+        compaction and retention pass — a crash can never leave a day's
+        only copy in a wipe-zone."""
+        fs, root = self._fs(self.path("_compact_old"))
+        try:
+            tiers = fs.listStatus(root)
+        except Exception:
+            return
+        for tdir in tiers:
+            tier = tdir.getPath().getName()
+            for st in fs.listStatus(tdir.getPath()):
+                dirname = st.getPath().getName()
+                live = self._jpath(f"{self.path(tier)}/{dirname}")
+                if fs.exists(live):
+                    fs.delete(st.getPath(), True)  # commit finished: drop backup
+                else:
+                    fs.mkdirs(live.getParent())
+                    fs.rename(st.getPath(), live)  # crashed mid-swap: restore
+        fs.delete(root, True)
+
     def compact_tier(
         self,
         tier: str = "raw",
         max_files_per_day: int = 4,
+        before: date | None = None,
         lease_ttl_s: int = 1800,
     ) -> list[str]:
         """Rewrite day partitions that have accumulated more than
@@ -446,26 +491,28 @@ class TieredStore:
         a file per micro-batch/job, and at the 100 TB tier a year of
         that turns every scan into open()-bound metadata churn).
 
-        ONE Spark job for all days needing compaction: rows hash-
-        partition on ``day`` (all of a day's rows land in one task →
-        one output file per day), staged under ``_staging`` and
-        published with the same per-day atomic rename + validation the
-        retention moves use — readers never see a half-compacted day,
-        a crash leaves both copies, and the same writer lease excludes
-        concurrent retention passes.  Returns the compacted days.
+        ONE Spark job for all days needing compaction (rows hash-
+        partition on ``day`` → one output file per day), then a per-day
+        TWO-RENAME swap: live dir → ``_compact_old`` backup, staged dir
+        → live, drop backup.  Every crash window leaves a copy OUTSIDE
+        the ``_staging`` wipe-zone, and :meth:`_recover_compaction`
+        (run at the start of every compaction/retention pass) restores
+        or finishes the swap — a crash can never lose a day.
+
+        Concurrent ingestion: appends do not take the writer lease, so
+        a day that changes between planning and commit (new files /
+        sizes) is SKIPPED this pass, not clobbered; pass ``before``
+        (e.g. today) so actively-ingesting days are never candidates —
+        the standard compact-only-settled-days operating mode.
+        Returns the compacted days.
         """
         fs, _ = self._fs(self.base)
+        self._recover_compaction()
         days = []
         for day in self.tier_days(tier):
-            p = self.spark._jvm.org.apache.hadoop.fs.Path(
-                f"{self.path(tier)}/day={day.isoformat()}"
-            )
-            n_files = sum(
-                1
-                for st in fs.listStatus(p)
-                if st.isFile() and not st.getPath().getName().startswith("_")
-            )
-            if n_files > max_files_per_day:
+            if before is not None and day >= before:
+                continue
+            if len(self._list_day_files(tier, day)) > max_files_per_day:
                 days.append(day)
         if not days:
             return []
@@ -473,7 +520,8 @@ class TieredStore:
         holder = self._acquire_lease(lease_ttl_s)
         stop_heartbeat = self._start_heartbeat(lease_ttl_s)
         try:
-            fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(self.path("_staging")), True)
+            fs.delete(self._jpath(self.path("_staging")), True)
+            planned = {day: self._list_day_files(tier, day) for day in days}
             src = self.spark.read.parquet(self.path(tier)).filter(
                 F.col("day").isin(days)
             )
@@ -493,15 +541,29 @@ class TieredStore:
                 r["day"]: r["n"]
                 for r in src.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
             }
+            done: list[str] = []
             for day in days:
+                iso = day.isoformat()
                 if counts.get(day, 0) != src_counts.get(day, 0):
                     raise RuntimeError(
                         f"compaction: staged count {counts.get(day, 0)} != "
                         f"source {src_counts.get(day, 0)} for {day}; kept source"
                     )
-                self._commit_partition(staging, tier, day)
-            fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
-            return [d.isoformat() for d in days]
+                if self._list_day_files(tier, day) != planned[day]:
+                    continue  # concurrent append since planning: skip, keep live
+                live = self._jpath(f"{self.path(tier)}/day={iso}")
+                backup = self._jpath(f"{self.path('_compact_old')}/{tier}/day={iso}")
+                staged = self._jpath(f"{staging}/day={iso}")
+                fs.mkdirs(backup.getParent())
+                if not fs.rename(live, backup):
+                    continue  # raced; keep live copy untouched
+                if not fs.rename(staged, live):
+                    fs.rename(backup, live)  # roll back, never leave a gap
+                    raise RuntimeError(f"compaction: swap failed for {iso}")
+                fs.delete(backup, True)
+                done.append(iso)
+            fs.delete(self._jpath(staging), True)
+            return done
         finally:
             stop_heartbeat()
             self._release_lease(holder)

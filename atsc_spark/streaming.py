@@ -171,12 +171,14 @@ def stream_transcripts_to_store(
     Exactly-once input accounting comes from the file source +
     checkpointLocation (a restarted query resumes at the committed
     offset and never re-reads a processed file).  The raw-tier append
-    inside ``foreachBatch`` is at-least-once on a mid-batch CRASH
-    (Spark may replay the last uncommitted batch) — acceptable for the
-    raw tier because downstream fits are per-(conv, metric, day) groups
-    and the duplicate-day dedupe in ``retention_pass`` keeps one copy;
-    an Iceberg sink would upgrade this to exactly-once via idempotent
-    snapshot commits (see atsc_spark.iceberg).
+    inside ``foreachBatch`` is guarded by a per-``batch_id`` marker
+    file created AFTER the append: a replayed batch whose marker exists
+    is skipped, narrowing duplication to a crash landing exactly
+    between the append and the marker create.  That residual window is
+    REAL — rows appended then are double-counted (the retention pass
+    dedupes duplicate DAYS across tiers, not duplicate rows within
+    one) — and closing it needs a transactional sink: the Iceberg
+    writer (atsc_spark.iceberg) commits data + marker in one snapshot.
 
     Returns the StreamingQuery (caller owns awaitTermination/stop).
     """
@@ -186,7 +188,12 @@ def stream_transcripts_to_store(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        fs, marker = store._fs(f"{store.base}/_stream_batches/{batch_id}")
+        if fs.exists(marker):
+            return  # replayed batch already appended — skip
         store.write_raw(batch_df)
+        fs.mkdirs(marker.getParent())
+        fs.create(marker, True).close()
 
     return (
         series.writeStream.outputMode("append")

@@ -370,6 +370,12 @@ def test_stream_transcripts_to_store_and_age(spark, tmp_path):
     assert store.read_series().count() == n2
 
 
+def _gif_fixture_path():
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "fixtures", "anim_24x32.gif")
+
+
 def test_gif_roundtrip_and_clear_cadence():
     """encode_gif -> decode_gif is pixel-exact, including a frame large
     enough to exercise the periodic-CLEAR width bookkeeping (the
@@ -398,7 +404,7 @@ def test_gif_committed_fixture():
 
     from atsc_spark.datapipe.multimodal import decode_gif
 
-    blob = open("tests/fixtures/anim_24x32.gif", "rb").read()
+    blob = open(_gif_fixture_path(), "rb").read()
     frames, delays = decode_gif(blob)
     assert frames.shape == (2, 24, 32, 3) and delays == [100, 100]
     assert hashlib.sha256(frames[0].tobytes()).hexdigest()[:16] == "871c96d2a6efded1"
@@ -414,7 +420,7 @@ def test_sample_video_frames_real_gif(spark):
 
     from atsc_spark.datapipe import multimodal as mm
 
-    blob = open("tests/fixtures/anim_24x32.gif", "rb").read()
+    blob = open(_gif_fixture_path(), "rb").read()
     frames, _ = mm.decode_gif(blob)
     media = spark.createDataFrame(
         [(1, "video", bytearray(blob), 200)],
@@ -440,7 +446,7 @@ def test_sample_video_frames_corrupt_gif_does_not_kill_job(spark):
     bad blob must not fail a corpus-scale job); STRICT surfaces it."""
     from atsc_spark.datapipe import multimodal as mm
 
-    good = open("tests/fixtures/anim_24x32.gif", "rb").read()
+    good = open(_gif_fixture_path(), "rb").read()
     media = spark.createDataFrame(
         [
             (1, "video", bytearray(good), 200),
@@ -454,3 +460,67 @@ def test_sample_video_frames_corrupt_gif_does_not_kill_job(spark):
         by_id.setdefault(r.media_id, []).append(r)
     assert len(by_id[1]) == 2  # real path unaffected
     assert len(by_id[2]) == 2  # stub path emitted rows, job survived
+
+
+def test_stream_to_store_replayed_batch_skipped_by_marker(spark, tmp_path):
+    """Simulated foreachBatch replay: wiping the checkpoint (so batch 0
+    re-runs with the same batch_id) while keeping the _stream_batches
+    markers must NOT duplicate rows in the raw tier."""
+    from atsc_spark.retention import TieredStore, TierPolicy
+    from atsc_spark.streaming import stream_transcripts_to_store
+
+    inp = str(tmp_path / "in")
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    transcripts(spark, n_convs=8, window_days=1).write.mode("overwrite").parquet(inp)
+    q = stream_transcripts_to_store(spark, inp, store)
+    q.awaitTermination(120)
+    n = store.read_series().count()
+    assert n > 0
+
+    # wipe the checkpoint: the next run replays from offset zero with
+    # the same batch ids — exactly the crash-replay shape
+    import shutil
+
+    shutil.rmtree(f"{store.base}/_stream_checkpoint")
+    q2 = stream_transcripts_to_store(spark, inp, store)
+    q2.awaitTermination(120)
+    assert store.read_series().count() == n  # markers skipped the replay
+
+
+def test_gif_gce_state_does_not_leak_across_frames():
+    """GIF89a: a graphic control extension applies only to the NEXT
+    rendering block.  Frame 1 carries a transparency GCE; frame 2 has
+    its GCE surgically removed — frame 2 must render its own pixels
+    fully opaque instead of punching frame-1 pixels through."""
+    import numpy as np
+
+    from atsc_spark.datapipe.multimodal import decode_gif, encode_gif
+
+    # two solid frames of different palette entries
+    f1 = np.full((8, 8, 3), [10, 20, 30], dtype=np.uint8)
+    f2 = np.full((8, 8, 3), [200, 100, 50], dtype=np.uint8)
+    blob = bytearray(encode_gif(np.stack([f1, f2]), [100, 100]))
+
+    # encoder layout: per frame GCE = 21 F9 04 flags delay(2) tindex 00
+    gce_positions = []
+    i = 0
+    while True:
+        j = blob.find(b"\x21\xf9\x04", i)
+        if j < 0:
+            break
+        gce_positions.append(j)
+        i = j + 1
+    assert len(gce_positions) == 2
+    # frame 1: transparency ON for the palette index frame 2 uses
+    pal_idx_f2 = 1 if tuple(f1[0, 0]) < tuple(f2[0, 0]) else 0
+    blob[gce_positions[0] + 3] |= 1
+    blob[gce_positions[0] + 6] = pal_idx_f2
+    # frame 2: remove its GCE entirely (8 bytes)
+    del blob[gce_positions[1] : gce_positions[1] + 8]
+
+    frames, _ = decode_gif(bytes(blob))
+    assert np.array_equal(frames[1], f2), "stale transparency leaked into frame 2"

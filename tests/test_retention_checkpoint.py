@@ -667,3 +667,87 @@ def test_compact_tier_merges_small_files(spark, series, tmp_path):
 
     # idempotent: nothing left over the threshold
     assert store.compact_tier("raw", max_files_per_day=4) == []
+
+
+def test_compaction_crash_recovery_never_loses_a_day(spark, series, tmp_path):
+    """The two-rename swap's crash windows: a day parked in
+    _compact_old with the live dir missing is RESTORED by the next
+    pass; with the live dir present the backup is dropped."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "crashrec"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(series)
+    n = store.read_series().count()
+    day = store.tier_days("raw")[0]
+    iso = day.isoformat()
+    fs, _ = store._fs(store.base)
+
+    # crash window A: live renamed to backup, staged swap never happened
+    live = store._jpath(f"{store.path('raw')}/day={iso}")
+    backup = store._jpath(f"{store.path('_compact_old')}/raw/day={iso}")
+    fs.mkdirs(backup.getParent())
+    assert fs.rename(live, backup)
+    assert store.tier_days("raw")[0] != day or len(store.tier_days("raw")) < 3
+    store._recover_compaction()
+    assert day in store.tier_days("raw")
+    assert store.read_series().count() == n
+
+    # crash window B: commit finished (live exists), stale backup remains
+    fs.mkdirs(backup.getParent())
+    dummy = store._jpath(f"{store.path('_compact_old')}/raw/day={iso}/stale")
+    fs.create(dummy, True).close()
+    store._recover_compaction()
+    assert not fs.exists(store._jpath(f"{store.path('_compact_old')}"))
+    assert store.read_series().count() == n
+
+
+def test_compaction_skips_concurrently_appended_day(spark, series, tmp_path):
+    """A day whose file set changes between planning and commit is
+    skipped (kept live), never clobbered with the stale staged copy."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "racecompact"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    for _ in range(5):
+        store.write_raw(series)
+    n = store.read_series().count()
+    days = store.tier_days("raw")
+    victim = days[0]
+
+    real_list = store._list_day_files
+    calls = {"n": 0}
+
+    def racing_list(tier, day):
+        out = real_list(tier, day)
+        if day == victim:
+            calls["n"] += 1
+            if calls["n"] >= 3:  # planning snapshot taken; now "append"
+                out = out | {("concurrent-append.parquet", 123)}
+        return out
+
+    store._list_day_files = racing_list
+    done = store.compact_tier("raw", max_files_per_day=4)
+    store._list_day_files = real_list
+    assert victim.isoformat() not in done
+    assert len(done) == len(days) - 1
+    assert store.read_series().count() == n  # nothing lost either way
+
+
+def test_compact_tier_before_excludes_hot_days(spark, series, tmp_path):
+    from datetime import timedelta
+
+    store = TieredStore(
+        spark,
+        str(tmp_path / "beforec"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    for _ in range(5):
+        store.write_raw(series)
+    days = store.tier_days("raw")
+    cutoff = days[-1]  # treat the newest day as still-ingesting
+    done = store.compact_tier("raw", max_files_per_day=4, before=cutoff)
+    assert cutoff.isoformat() not in done
+    assert len(done) == len(days) - 1
