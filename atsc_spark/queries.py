@@ -1235,6 +1235,29 @@ FROM inc
 """
 
 
+def q_near_dup_survivors(spark, sf_dir):
+    """The training-data pipeline's endpoint: the corpus AFTER near-dup
+    dedup — one survivor (min doc_id) per duplicate cluster, with the
+    cluster size it represents.  Composition of the graded clustering
+    (LSH candidates -> convergence-safe connected components) with a
+    one-pass aggregate."""
+    clusters = dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, max_bucket=100
+    )
+    return clusters.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _near_dup_survivors_sql() -> str:
+    return f"""
+WITH clusters AS ({_dedup_clusters_sql()})
+SELECT cluster_id, min(doc_id) AS doc_id, count(*) AS n_members
+FROM clusters GROUP BY 1
+"""
+
+
 def q_ivfpq_ann(spark, sf_dir):
     """IVF×PQ composition at the degenerate-exact config: nprobe ==
     nlist probes every cell and codebook_k >= corpus makes every
@@ -1547,6 +1570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_ann": q_ivfpq_ann,
     "hyperplane_lsh": q_hyperplane_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "near_dup_survivors": q_near_dup_survivors,
 }
 
 ORACLES: dict[str, str] = {
@@ -1603,4 +1627,5 @@ ORACLES: dict[str, str] = {
     "ivfpq_ann": SQL_ANN_TOPK,
     "hyperplane_lsh": _hyperplane_lsh_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "near_dup_survivors": _near_dup_survivors_sql(),
 }
