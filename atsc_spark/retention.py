@@ -40,6 +40,7 @@ output.
 
 from __future__ import annotations
 
+import logging
 import time as _time_mod
 from dataclasses import dataclass, field
 from datetime import date, datetime, timezone
@@ -50,6 +51,8 @@ from pyspark.sql import functions as F
 from .frames import decode_frames, fit_frames, prune_frames_to_range
 from .lossless import decode_lossless, fit_lossless
 from .rollup import rollup
+
+_log = logging.getLogger(__name__)
 
 _TIER_ORDER = {"raw": 0, "tier0": 1, "tier1": 2, "tier2": 3, "rollup": 4}
 
@@ -228,6 +231,9 @@ class TieredStore:
                 # verify ownership: a contender that raced the takeover
                 # window may have deleted our lock and created its own
                 if self._read_lock_holder() == holder:
+                    self._lease_holder = holder  # for heartbeat fallback
+                    self._lease_ttl_s = ttl_s
+                    self._heartbeat_failures = 0
                     return holder
                 raise RetentionLockHeld(
                     f"retention lease at {self.path('_lock')} lost to a "
@@ -254,14 +260,50 @@ class TieredStore:
             )
         raise RetentionLockHeld(f"retention lease at {self.path('_lock')} contended")
 
-    def _heartbeat_lease(self) -> None:
+    def _heartbeat_lease(self) -> bool:
+        """Advance the lease's liveness signal.  Primary: ``setTimes``
+        on the lock (mtime is what :meth:`_acquire_lease` ages).  On
+        filesystems where ``setTimes`` is unsupported or failing, fall
+        back to REWRITING the lock content with our own uuid — an
+        overwrite also advances mtime — but only after a read-back
+        confirms we still own the lock (never clobber a usurper's).
+
+        Failures are COUNTED and logged, not silently swallowed: a
+        holder whose heartbeats are all failing ages from creation time
+        only and becomes takeover-eligible after ``ttl_s`` even while
+        healthy — the operator needs to see that, not discover it as a
+        duplicate-writer corruption."""
         import time as _time
 
         fs, lock = self._lock_path()
         try:
             fs.setTimes(lock, int(_time.time() * 1000), -1)
+            self._heartbeat_failures = 0
+            return True
         except Exception:
-            pass  # heartbeat is best-effort; ttl just ages from last beat
+            pass
+        try:  # fallback: content rewrite advances mtime everywhere
+            mine = getattr(self, "_lease_holder", None)
+            if mine is not None and self._read_lock_holder() == mine:
+                out = fs.create(lock, True)
+                try:
+                    out.write(bytearray(mine.encode()))
+                finally:
+                    out.close()
+                self._heartbeat_failures = 0
+                return True
+        except Exception:
+            pass
+        self._heartbeat_failures = getattr(self, "_heartbeat_failures", 0) + 1
+        if self._heartbeat_failures in (1, 3) or self._heartbeat_failures % 10 == 0:
+            _log.warning(
+                "retention lease heartbeat failing (%d consecutive): lock "
+                "mtime is not advancing; this pass becomes takeover-"
+                "eligible %ss after acquisition",
+                self._heartbeat_failures,
+                getattr(self, "_lease_ttl_s", "ttl"),
+            )
+        return False
 
     def _start_heartbeat(self, ttl_s: int):
         """Background daemon beating the lease every ttl/3 — a single
@@ -288,7 +330,19 @@ class TieredStore:
     def _release_lease(self, holder: str | None = None) -> None:
         """Delete the lock — only if we still own it (a takeover may
         have replaced it; deleting the usurper's lock would admit a
-        third writer)."""
+        third writer).
+
+        RESIDUAL WINDOW (documented, not closable here): the read-back
+        and the delete are two FS calls, so a stale-TTL takeover that
+        lands between them gets its fresh lock deleted by us.  The
+        window only opens when our lease was ALREADY takeover-eligible
+        — i.e. heartbeats stopped advancing mtime for a full ttl —
+        which :meth:`_heartbeat_lease` now counts and logs loudly.
+        When heartbeats were healthy (``_heartbeat_failures == 0``),
+        no competitor can have seen a stale lock, and the re-read
+        immediately before delete keeps the window at two syscalls.
+        A truly atomic release needs a conditional-delete primitive
+        the Hadoop FileSystem API does not expose."""
         fs, lock = self._lock_path()
         if holder is not None and self._read_lock_holder() != holder:
             return
@@ -507,19 +561,38 @@ class TieredStore:
         Returns the compacted days.
         """
         fs, _ = self._fs(self.base)
-        self._recover_compaction()
-        days = []
-        for day in self.tier_days(tier):
-            if before is not None and day >= before:
-                continue
-            if len(self._list_day_files(tier, day)) > max_files_per_day:
-                days.append(day)
-        if not days:
+        # Pre-lease QUICK scan only decides whether to bother taking the
+        # lease at all; the authoritative candidate list is rebuilt under
+        # the lease below.  If a crashed swap left backups in
+        # _compact_old we must take the lease too — recovery mutates
+        # live day dirs, and doing it lease-free races a live holder
+        # mid two-rename swap (restoring the backup while the holder's
+        # rename(staged, live) is in flight lands the staged dir INSIDE
+        # the restored live dir → nested day=X/day=X).
+        def _scan_candidates() -> list[date]:
+            out = []
+            for day in self.tier_days(tier):
+                if before is not None and day >= before:
+                    continue
+                if len(self._list_day_files(tier, day)) > max_files_per_day:
+                    out.append(day)
+            return out
+
+        if not _scan_candidates() and not fs.exists(
+            self._jpath(self.path("_compact_old"))
+        ):
             return []
 
         holder = self._acquire_lease(lease_ttl_s)
         stop_heartbeat = self._start_heartbeat(lease_ttl_s)
         try:
+            # recovery and everything after it mutate live/_compact_old/
+            # _staging — single-writer territory, so only under the lease
+            # (retention_pass likewise recovers inside its locked section)
+            self._recover_compaction()
+            days = _scan_candidates()
+            if not days:
+                return []
             fs.delete(self._jpath(self.path("_staging")), True)
             planned = {day: self._list_day_files(tier, day) for day in days}
             src = self.spark.read.parquet(self.path(tier)).filter(

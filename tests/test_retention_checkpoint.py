@@ -536,6 +536,109 @@ def test_retention_lease_stale_takeover_and_release(spark, series, tmp_path):
     assert not fs.exists(lock)
 
 
+def test_heartbeat_failure_counted_and_content_fallback(spark, series, tmp_path):
+    """setTimes failures fall back to a content rewrite (advancing
+    mtime), and persistent failures are COUNTED (surfaced via the
+    logger) instead of silently degrading the ttl to creation time."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "hb"),
+        TierPolicy(t0_days=0, t1_days=10000, t2_days=20000, t3_days=30000),
+    )
+    store.write_raw(series)
+    holder = store._acquire_lease(ttl_s=1800)
+    fs, lock = store._lock_path()
+
+    # break setTimes: the fallback rewrite must still advance mtime
+    before = fs.getFileStatus(lock).getModificationTime()
+    fs.setTimes(lock, before - 5000, -1)  # age it so any advance is visible
+    aged = fs.getFileStatus(lock).getModificationTime()
+
+    def patched_lock_path():
+        class Broken:
+            def setTimes(self, *a):
+                raise RuntimeError("unsupported")
+
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+        return Broken(), lock
+
+    store._lock_path = patched_lock_path
+    assert store._heartbeat_lease() is True  # content-rewrite fallback
+    assert store._heartbeat_failures == 0
+    assert fs.getFileStatus(lock).getModificationTime() > aged
+    assert store._read_lock_holder() == holder  # content preserved
+
+    # now break BOTH paths: failures must count up, never reset
+    def broken_lock_path():
+        class Dead:
+            def setTimes(self, *a):
+                raise RuntimeError("unsupported")
+
+            def create(self, *a):
+                raise RuntimeError("read-only")
+
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+        return Dead(), lock
+
+    store._lock_path = broken_lock_path
+    assert store._heartbeat_lease() is False
+    assert store._heartbeat_lease() is False
+    assert store._heartbeat_failures == 2
+
+    store._lock_path = lambda: (fs, lock)
+    store._release_lease(holder)
+    assert not fs.exists(lock)
+
+
+def test_compact_tier_recovers_under_lease(spark, series, tmp_path):
+    """compact_tier must NOT run crash recovery lease-free: with the
+    lease held by another writer it aborts BEFORE touching the parked
+    _compact_old backup (the lease-free-recovery race from ADVICE r4)."""
+    from atsc_spark.retention import RetentionLockHeld
+
+    store = TieredStore(
+        spark,
+        str(tmp_path / "leaserec"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    for _ in range(5):
+        store.write_raw(series)
+    day = store.tier_days("raw")[0]
+    iso = day.isoformat()
+    fs, lock = store._lock_path()
+
+    # simulate another holder mid two-rename swap: live parked in
+    # _compact_old, lease held
+    live = store._jpath(f"{store.path('raw')}/day={iso}")
+    backup = store._jpath(f"{store.path('_compact_old')}/raw/day={iso}")
+    fs.mkdirs(backup.getParent())
+    assert fs.rename(live, backup)
+    other = TieredStore(spark, store.base, store.policy)
+    other._acquire_lease(ttl_s=1800)
+
+    with pytest.raises(RetentionLockHeld):
+        store.compact_tier("raw", max_files_per_day=4)
+    # the parked backup was NOT touched while the lease was held
+    assert fs.exists(backup)
+    assert not fs.exists(live)
+
+    # holder releases → compaction recovers the day, then compacts
+    other._release_lease()
+    done = store.compact_tier("raw", max_files_per_day=4)
+    assert iso in done
+    assert day in store.tier_days("raw")
+    # no day remains PARKED in _compact_old (empty scaffolding dirs are
+    # fine — the next pass's recovery sweeps them)
+    old_root = store._jpath(store.path("_compact_old"))
+    if fs.exists(old_root):
+        for tdir in fs.listStatus(old_root):
+            assert len(fs.listStatus(tdir.getPath())) == 0
+
+
 def test_read_series_key_pruning(spark, series, tier1_store):
     """conv_ids/metrics filters hit the COMPRESSED frame rows (a filter
     after mapInPandas cannot push through the decoder): the pruned read
@@ -724,7 +827,10 @@ def test_compaction_skips_concurrently_appended_day(spark, series, tmp_path):
         out = real_list(tier, day)
         if day == victim:
             calls["n"] += 1
-            if calls["n"] >= 3:  # planning snapshot taken; now "append"
+            # per-victim call order: 1 = pre-lease quick scan, 2 =
+            # under-lease candidate scan, 3 = planning snapshot, 4+ =
+            # commit-time re-check.  "Append" lands after planning.
+            if calls["n"] >= 4:
                 out = out | {("concurrent-append.parquet", 123)}
         return out
 
