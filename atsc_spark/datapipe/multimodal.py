@@ -49,7 +49,18 @@ AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, rms double, features array<float>"
 )
 
+#: Module-level default for the strict/fake-features switch.  Entry
+#: points take a per-call ``strict=`` parameter that OVERRIDES this;
+#: prefer the parameter — besides being explicit at the call site, a
+#: closure-captured flag is serialized with the UDF and therefore
+#: reaches executors on a real cluster, whereas a driver-side
+#: ``multimodal.STRICT = True`` assignment does NOT propagate to
+#: executor processes (they re-import the module and see the default).
 STRICT = False  # set True to surface NotImplementedError instead of fakes
+
+
+def _strict(strict: bool | None) -> bool:
+    return STRICT if strict is None else strict
 
 
 def decode_ppm(content: bytes) -> np.ndarray:
@@ -523,17 +534,21 @@ def encode_gif(
     return bytes(out)
 
 
-def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
+def _fake_pixels(
+    content: bytes, width: int, height: int, strict: bool | None = None
+) -> np.ndarray:
     """Deterministic fake decode: pseudo-pixels seeded by the blob
     digest.  Stands in for Pillow/cv2 (not installed here)."""
-    if STRICT:
+    if _strict(strict):
         raise NotImplementedError("image decoding requires Pillow/cv2 (not in container)")
     seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "little")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-def decode_image(content: bytes, width: int, height: int) -> np.ndarray:
+def decode_image(
+    content: bytes, width: int, height: int, strict: bool | None = None
+) -> np.ndarray:
     """Decode dispatch: real paths for PPM (P6) and PNG blobs
     (:func:`decode_png`, stdlib zlib + numpy unfilter); only JPEG etc.
     still fall through to the stub (no codec libs in this container)."""
@@ -541,22 +556,29 @@ def decode_image(content: bytes, width: int, height: int) -> np.ndarray:
         return decode_ppm(content)
     if content.startswith(_PNG_SIG):
         return decode_png(content)
-    return _fake_pixels(content, width, height)
+    return _fake_pixels(content, width, height, strict)
 
 
-def decode_and_featurize_images(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+def decode_and_featurize_images(
+    media: DataFrame, feature_dim: int = 16, strict: bool | None = None
+) -> DataFrame:
     """binary content -> fixed-width feature vector per image.
 
     mapInPandas: one Arrow batch in, one out; decode + channel-stat
-    features are vectorized numpy per image.
+    features are vectorized numpy per image.  ``strict=True`` raises on
+    any blob that would hit the fake-feature stub (JPEG etc.);
+    ``None`` defers to the module default.  The flag is captured in the
+    UDF closure, so it reaches executors on a real cluster (the module
+    global would not).
     """
+    strict_flag = _strict(strict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
-                px = decode_image(content, int(row.width), int(row.height))
+                px = decode_image(content, int(row.width), int(row.height), strict_flag)
                 # channel means/stds + downsampled grid -> fixed width
                 feats = np.concatenate(
                     [
@@ -614,14 +636,18 @@ def decode_and_featurize_audio(media: DataFrame, n_bands: int = 8) -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, strict: bool | None = None
+) -> DataFrame:
     """Frame sampling: GIF payloads get a REAL decode (stdlib LZW,
     :func:`decode_gif`) — frames are selected by their cumulative
     delays and the digest is of the actual decoded pixels.  Other
     containers (MP4 etc.) stay on the deterministic-digest stub until
-    PyAV is available (STRICT mode raises instead).  Row explosion
-    happens executor-side in the UDF, so a long video never
-    materializes as one driver row."""
+    PyAV is available (``strict=True`` raises instead; ``None`` defers
+    to the module default, and the resolved flag is closure-captured so
+    it reaches executors).  Row explosion happens executor-side in the
+    UDF, so a long video never materializes as one driver row."""
+    strict_flag = _strict(strict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -656,7 +682,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                             }
                         )
                     continue
-                if STRICT:
+                if strict_flag:
                     if gif_err is not None:
                         raise ValueError(f"corrupt GIF payload: {gif_err}") from gif_err
                     raise NotImplementedError("non-GIF video decoding requires PyAV")

@@ -441,6 +441,42 @@ def test_sample_video_frames_real_gif(spark):
         mm.STRICT = old
 
 
+def test_strict_per_call_overrides_module_global(spark):
+    """strict= is a per-call parameter (r4 VERDICT #8): strict=True
+    raises on a stub-path blob regardless of the module default, and
+    strict=False admits the deterministic fake even when the module
+    global says STRICT."""
+    import numpy as np
+    import pytest
+    from atsc_spark.datapipe import multimodal as mm
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"notreallyajpeg" * 10  # no real decoder
+    media = spark.createDataFrame(
+        [(1, "image", "image/jpeg", 4, 4, 0, bytearray(jpeg_ish))], mm.MEDIA_SCHEMA
+    )
+
+    # module default False, per-call strict=True -> raises
+    with pytest.raises(Exception, match="Pillow|cv2"):
+        mm.decode_and_featurize_images(media, strict=True).collect()
+
+    # module global True, per-call strict=False -> fake features flow
+    old = mm.STRICT
+    mm.STRICT = True
+    try:
+        rows = mm.decode_and_featurize_images(media, strict=False).collect()
+        assert len(rows) == 1 and len(rows[0].features) == 16
+        # and the video stub path honors the override the same way
+        vmedia = spark.createDataFrame(
+            [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"), 300)],
+            "media_id long, kind string, content binary, duration_ms long",
+        )
+        assert mm.sample_video_frames(vmedia, every_ms=100, strict=False).count() == 3
+        with pytest.raises(Exception, match="PyAV"):
+            mm.sample_video_frames(vmedia, every_ms=100, strict=True).collect()
+    finally:
+        mm.STRICT = old
+
+
 def test_sample_video_frames_corrupt_gif_does_not_kill_job(spark):
     """A truncated/corrupt GIF blob falls back to the digest stub (one
     bad blob must not fail a corpus-scale job); STRICT surfaces it."""
