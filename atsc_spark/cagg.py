@@ -1,0 +1,274 @@
+"""Incrementally-maintained continuous aggregates (1m/1h/1d rollups).
+
+The reference positions ATSC downstream of "databases that roll their
+time series over" (`/root/reference/README.md:66`); the rollups
+themselves are the continuous-aggregate layer every such database
+maintains.  Round-4 ingestion (`streaming.stream_transcripts_to_store`)
+lands raw rows continuously, but the rollup queries recomputed from
+scratch — at the 100 TB tier that reprocesses a year to pick up one
+day.  This module maintains materialized 1m/1h/1d rollup tables that
+are refreshed ONLY for the day partitions whose underlying tier data
+changed.
+
+Change detection is a per-day FILE-SET FINGERPRINT (tier, file name,
+file length — pure FileSystem metadata, no data scan) across the
+raw/tier0/tier1/tier2 tiers, recorded in an append-only state log next
+to the rollups.  A day is dirty when its current fingerprint differs
+from the last recorded one — this catches streaming appends,
+compaction rewrites, and retention tier moves alike, without trusting
+any writer to report what it touched.
+
+Refresh shape (scale notes):
+
+- only dirty day partitions are READ (``day`` is the partition column,
+  so the ``isin`` filter prunes directories at the scan);
+- the cascade re-aggregates the next-finer grain (1h from the fresh
+  1m, 1d from the fresh 1h) — one shuffle per grain over already
+  day-bounded data, mirroring ``rollup_cascade``;
+- each grain's day partitions are staged and published with the same
+  atomic rename commit the retention pass uses, so readers never see a
+  half-refreshed day;
+- per-(grain, day) lineage rows (rows in/out, wall) go to the shared
+  CheckpointLog schema — the north rule's per-partition lineage.
+
+Days aged all the way to the rollup-only retention tier have no
+points left to re-aggregate; their materialized rollups are KEPT (the
+defining property of a continuous aggregate: it outlives the raw data)
+and the day is marked clean so it stops showing up as dirty.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time as _time_mod
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointLog
+from .frames import decode_frames, prune_frames_to_range
+from .lossless import decode_lossless
+from .rollup import rollup, rollup_cascade_step
+
+GRAINS: dict[str, str] = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+_SOURCE_TIERS = ("raw", "tier0", "tier1", "tier2")
+
+_STATE_SCHEMA = "day string, fingerprint string, updated_at timestamp"
+
+
+class ContinuousRollups:
+    """Materialized 1m/1h/1d rollups over a :class:`TieredStore`,
+    refreshed incrementally per dirty day partition."""
+
+    def __init__(self, spark: SparkSession, store) -> None:
+        self.spark = spark
+        self.store = store
+        self.base = store.path("_rollups")
+        self.lineage = CheckpointLog(spark, f"{self.base}/_lineage")
+
+    # ----------------------------------------------------- fingerprints
+
+    def _day_fingerprint(self, day: date) -> str:
+        """sha256 over the sorted (tier, file, length) set of a day's
+        partitions across all source tiers — metadata-only."""
+        parts = []
+        for tier in _SOURCE_TIERS:
+            for name, length in sorted(self.store._list_day_files(tier, day)):
+                parts.append(f"{tier}/{name}:{length}")
+        if not parts:
+            return "EMPTY"
+        return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+    def _recorded_fingerprints(self) -> dict[str, str]:
+        """Latest recorded fingerprint per day (append-only log; last
+        write wins by updated_at)."""
+        try:
+            df = self.spark.read.schema(_STATE_SCHEMA).parquet(f"{self.base}/_state")
+        except Exception:
+            return {}
+        rows = (
+            df.groupBy("day")
+            .agg(F.max_by("fingerprint", "updated_at").alias("fingerprint"))
+            .collect()
+        )
+        return {r["day"]: r["fingerprint"] for r in rows}
+
+    def _record_fingerprints(self, fps: dict[date, str]) -> None:
+        if not fps:
+            return
+        df = self.spark.createDataFrame(
+            [(d.isoformat(), fp) for d, fp in fps.items()],
+            "day string, fingerprint string",
+        ).withColumn("updated_at", F.current_timestamp())
+        df.coalesce(1).write.mode("append").parquet(f"{self.base}/_state")
+
+    def dirty_days(self) -> list[date]:
+        """Days whose source file set changed since the last refresh
+        (new days included; fully-aged-to-rollup days show as EMPTY and
+        are handled by :meth:`refresh`)."""
+        recorded = self._recorded_fingerprints()
+        seen: set[date] = set()
+        for tier in _SOURCE_TIERS:
+            seen.update(self.store.tier_days(tier))
+        # recorded days absent from every source tier (fully aged away,
+        # or dropped) must be re-checked too: their fingerprint flips to
+        # EMPTY and the refresh marks them clean while KEEPING the
+        # materialized rollups
+        seen.update(date.fromisoformat(iso) for iso in recorded)
+        out = [
+            day
+            for day in seen
+            if recorded.get(day.isoformat()) != self._day_fingerprint(day)
+        ]
+        return sorted(out)
+
+    # ----------------------------------------------------------- read
+
+    def _read_days(self, days: list[date]) -> DataFrame:
+        """Union read of the given day partitions across tiers, with
+        the source ``day`` carried through (rows aggregate under the
+        partition they came from, so a refresh rewrites exactly those
+        partitions)."""
+        isos = [d.isoformat() for d in days]
+        t0_s = min(int(_midnight_s(d)) for d in days)
+        t1_s = max(int(_midnight_s(d)) for d in days) + 86_400 + 2 * 86_400
+        parts = []
+        raw = self.store._read_or_empty("raw")
+        if raw is not None:
+            parts.append(
+                raw.filter(F.col("day").isin(isos)).select(
+                    "day", "conv_id", "metric", "bucket_ts", "value"
+                )
+            )
+        t0 = self.store._read_or_empty("tier0")
+        if t0 is not None:
+            sel = t0.filter(F.col("day").isin(isos))
+            parts.append(
+                decode_lossless(sel.drop("day")).withColumn(
+                    "day", F.to_date("bucket_ts")
+                ).filter(F.col("day").isin(isos)).select(
+                    "day", "conv_id", "metric", "bucket_ts", "value"
+                )
+            )
+        for tier in ("tier1", "tier2"):
+            t = self.store._read_or_empty(tier)
+            if t is not None:
+                sel = prune_frames_to_range(
+                    t.filter(F.col("day").isin(isos)), t0_s - 2 * 86_400, t1_s
+                )
+                parts.append(
+                    decode_frames(sel).withColumn("day", F.to_date("bucket_ts"))
+                    .filter(F.col("day").isin(isos))
+                    .select("day", "conv_id", "metric", "bucket_ts", "value")
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, grain: str) -> DataFrame | None:
+        """The materialized rollup table for ``grain`` ('1m'/'1h'/'1d')."""
+        if grain not in GRAINS:
+            raise ValueError(f"unknown grain {grain!r}; want one of {list(GRAINS)}")
+        try:
+            return self.spark.read.parquet(f"{self.base}/{grain}")
+        except Exception:
+            return None
+
+    # -------------------------------------------------------- refresh
+
+    def refresh(self, days: list[date] | None = None, lease_ttl_s: int = 1800) -> list[str]:
+        """Re-aggregate the dirty (or given) days into the 1m/1h/1d
+        rollup tables; returns the refreshed day isos.
+
+        Single-writer under the store's retention lease (a refresh and
+        a retention pass mutating the same store must serialize — the
+        fingerprints read here must not race a tier move's
+        rename/delete)."""
+        holder = self.store._acquire_lease(lease_ttl_s)
+        stop_heartbeat = self.store._start_heartbeat(lease_ttl_s)
+        try:
+            return self._refresh_locked(days)
+        finally:
+            stop_heartbeat()
+            self.store._release_lease(holder)
+
+    def _refresh_locked(self, days: list[date] | None) -> list[str]:
+        if days is None:
+            days = self.dirty_days()
+        if not days:
+            return []
+        fps = {d: self._day_fingerprint(d) for d in days}
+        # fully-aged days (no points left in any source tier): keep the
+        # existing materialized rollups, just mark clean
+        compute = [d for d in days if fps[d] != "EMPTY"]
+        if compute:
+            src = self._read_days(compute)
+            t_group = _time_mod.time()
+            fine = rollup(src.select("conv_id", "metric", "bucket_ts", "value"), GRAINS["1m"])
+            # re-attach the partition day from the bucket (buckets at
+            # 1m/1h/1d granularity never straddle a UTC day boundary)
+            r1m = fine.withColumn("day", F.to_date("bucket_ts"))
+            r1h = rollup_cascade_step(r1m.drop("day"), GRAINS["1h"]).withColumn(
+                "day", F.to_date("bucket_ts")
+            )
+            r1d = rollup_cascade_step(r1h.drop("day"), GRAINS["1d"]).withColumn(
+                "day", F.to_date("bucket_ts")
+            )
+            isos = [d.isoformat() for d in compute]
+            fs, _ = self.store._fs(self.base)
+            lineage_rows = []
+            for grain, df in (("1m", r1m), ("1h", r1h), ("1d", r1d)):
+                staging = f"{self.base}/_staging/{grain}"
+                (
+                    df.filter(F.col("day").isin(isos))
+                    .repartition(max(len(compute) // 8, 1), "day")
+                    .sortWithinPartitions("day", "conv_id", "metric", "bucket_ts")
+                    .write.mode("overwrite")
+                    .partitionBy("day")
+                    .parquet(staging)
+                )
+                written = self.spark.read.parquet(staging)
+                counts = {
+                    r["day"]: r["n"]
+                    for r in written.groupBy("day")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                wall_ms = int((_time_mod.time() - t_group) * 1000) // max(
+                    len(compute), 1
+                )
+                for d in compute:
+                    self._commit_rollup_partition(staging, grain, d)
+                    lineage_rows.append(
+                        {
+                            "stage": f"cagg:{grain}",
+                            "partition_key": d.isoformat(),
+                            "rows_out": counts.get(d, 0),
+                            "wall_ms": wall_ms,
+                        }
+                    )
+                fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
+            self.lineage.record(lineage_rows)
+        self._record_fingerprints(fps)
+        return [d.isoformat() for d in days]
+
+    def _commit_rollup_partition(self, staging: str, grain: str, day: date) -> None:
+        iso = day.isoformat()
+        fs, dst = self.store._fs(f"{self.base}/{grain}/day={iso}")
+        src = self.spark._jvm.org.apache.hadoop.fs.Path(f"{staging}/day={iso}")
+        if not fs.exists(src):
+            return  # day produced no rows — nothing to publish
+        fs.delete(dst, True)
+        fs.mkdirs(dst.getParent())
+        fs.rename(src, dst)
+
+
+def _midnight_s(d: date) -> int:
+    from datetime import datetime, timezone
+
+    return int(datetime(d.year, d.month, d.day, tzinfo=timezone.utc).timestamp())

@@ -215,3 +215,50 @@ def documents_dupheavy(spark: SparkSession, n_docs: int = 100_000) -> DataFrame:
         .otherwise(body)
         .alias("text"),
     )
+
+
+def hot_transcripts(
+    spark: SparkSession,
+    n_convs: int = 64,
+    total_turns: int = 400_000,
+    hot_share: float = 0.5,
+    window_days: int = 2,
+) -> DataFrame:
+    """Pathologically-skewed transcripts: ONE conversation carries
+    ``hot_share`` of all turns (default half), the rest split evenly.
+    The deliberate hot-key corpus for skew evidence — far beyond the
+    Zipf tail :func:`transcripts` produces naturally.  Fully JVM-side
+    generation."""
+    hot_turns = int(total_turns * hot_share)
+    cold_each = max((total_turns - hot_turns) // max(n_convs - 1, 1), 2)
+    span_s = float(window_days * 86400)
+
+    def turn_cols(conv_id_col, idx_col, n_turns: int):
+        ts = F.to_timestamp(F.lit(EPOCH_START)) + F.make_interval(
+            secs=F.round(idx_col.cast("double") * (span_s / float(n_turns)), 0)
+        )
+        return [
+            conv_id_col.alias("conv_id"),
+            idx_col.cast("int").alias("turn_idx"),
+            F.when(F.pmod(idx_col, F.lit(2)) == 0, "user")
+            .otherwise("assistant")
+            .alias("role"),
+            F.repeat(F.lit("x"), (F.pmod(idx_col, F.lit(50)) + 5).cast("int")).alias(
+                "text"
+            ),
+            F.when(F.pmod(idx_col, F.lit(7)) == 0, F.lit("search")).alias("tool"),
+            ts.alias("ts"),
+        ]
+
+    hot = spark.range(hot_turns).select(
+        *turn_cols(F.lit("conv_hot"), F.col("id"), hot_turns)
+    )
+    cold = (
+        spark.range(n_convs - 1)
+        .select(
+            F.format_string("conv_%08d", F.col("id")).alias("cid"),
+            F.explode(F.sequence(F.lit(0), F.lit(cold_each - 1))).alias("i"),
+        )
+        .select(*turn_cols(F.col("cid"), F.col("i").cast("long"), cold_each))
+    )
+    return hot.unionByName(cold)

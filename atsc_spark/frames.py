@@ -42,7 +42,13 @@ FRAME_SCHEMA = (
     "conv_id string, metric string, day date, frame_idx int, "
     "compressor string, compressor_id int, sample_count int, "
     "seg_interval array<long>, seg_start array<long>, seg_n array<int>, "
-    "payload binary, error double, payload_bytes int, raw_bytes long"
+    "payload binary, error double, payload_bytes int, raw_bytes long, "
+    # frame time span materialized as TOP-LEVEL columns at fit time:
+    # parquet column chunks carry min/max statistics for plain longs
+    # (not for elements inside arrays), so a time-range read prunes
+    # whole ROW GROUPS at the scan — prune_frames_to_range's array
+    # expressions remain only as the fallback for span-less rows
+    "span_start_s long, span_end_s long"
 )
 
 DECODED_SCHEMA = "conv_id string, metric string, epoch_s long, value double"
@@ -111,8 +117,17 @@ def segments_to_ts(seg_interval, seg_start, seg_n) -> np.ndarray:
 _FRAME_COLS = [
     "conv_id", "metric", "day", "frame_idx", "compressor", "compressor_id",
     "sample_count", "seg_interval", "seg_start", "seg_n", "payload", "error",
-    "payload_bytes", "raw_bytes",
+    "payload_bytes", "raw_bytes", "span_start_s", "span_end_s",
 ]
+
+
+def _span_of_segments(m: np.ndarray, y0: np.ndarray, cnt: np.ndarray):
+    """(first_ts, last_ts) of a frame from its VSRI segment arrays;
+    (None, None) for an empty frame — null spans are KEPT by pruning,
+    never silently dropped."""
+    if len(y0) == 0:
+        return None, None
+    return int(y0[0]), int(y0[-1] + m[-1] * (cnt[-1] - 1))
 
 
 def _fit_one_group(
@@ -131,6 +146,7 @@ def _fit_one_group(
     for frame_idx, size in enumerate(get_chunk_sizes(len(values))):
         res = compress_frame(values[offset : offset + size], compressor_id, max_error, speed)
         m, y0, cnt = time_segment_arrays(ts[offset : offset + size])
+        s0, s1 = _span_of_segments(m, y0, cnt)
         rows.append(
             {
                 "conv_id": conv_id,
@@ -147,6 +163,8 @@ def _fit_one_group(
                 "error": float(res.error) if np.isfinite(res.error) else None,
                 "payload_bytes": len(res.payload),
                 "raw_bytes": int(size) * 8,
+                "span_start_s": s0,
+                "span_end_s": s1,
             }
         )
         offset += size
@@ -261,6 +279,7 @@ def _make_fit_map_fn_batched(max_error: float):
             results = compress_frames_batch(datas, max_error)
             rows = []
             for (i, frame_idx, size, (m, y0, cnt)), res in zip(metas, results):
+                s0, s1 = _span_of_segments(m, y0, cnt)
                 rows.append(
                     {
                         "conv_id": conv[i],
@@ -277,6 +296,8 @@ def _make_fit_map_fn_batched(max_error: float):
                         "error": float(res.error) if np.isfinite(res.error) else None,
                         "payload_bytes": len(res.payload),
                         "raw_bytes": int(size) * 8,
+                        "span_start_s": s0,
+                        "span_end_s": s1,
                     }
                 )
             yield pd.DataFrame(rows, columns=_FRAME_COLS)
@@ -442,12 +463,17 @@ def decode_frames(frames: DataFrame, num_tasks: int | None = None) -> DataFrame:
 
 def frame_time_span(frames: DataFrame) -> DataFrame:
     """Attach ``span_start_s`` / ``span_end_s`` (epoch seconds, both
-    inclusive) computed purely from the VSRI segment metadata — no
-    payload decode.  The first segment's start is the frame's first
-    timestamp; the last segment contributes ``start + (n-1)*interval``.
-    (Segments are emitted in timestamp order by
-    :func:`time_segment_arrays`, so first/last elements bound the span.)
+    inclusive).  Frames written since the span columns were added to
+    FRAME_SCHEMA already carry them top-level (pass-through); older /
+    foreign rows get them computed purely from the VSRI segment
+    metadata — no payload decode.  The first segment's start is the
+    frame's first timestamp; the last segment contributes
+    ``start + (n-1)*interval``.  (Segments are emitted in timestamp
+    order by :func:`time_segment_arrays`, so first/last elements bound
+    the span.)
     """
+    if "span_start_s" in frames.columns and "span_end_s" in frames.columns:
+        return frames
     first = F.try_element_at(F.col("seg_start"), F.lit(1))
     last_start = F.try_element_at(F.col("seg_start"), F.lit(-1))
     last_iv = F.try_element_at(F.col("seg_interval"), F.lit(-1))
@@ -471,11 +497,28 @@ def prune_frames_to_range(frames: DataFrame, t0_s: int, t1_s: int) -> DataFrame:
     still decode whole — the caller trims with an exact timestamp
     filter after decode.  Null spans (defensively possible on foreign
     rows with empty segment arrays) are kept, never silently dropped.
+
+    When the input carries the MATERIALIZED top-level span columns
+    (every fit since they joined FRAME_SCHEMA), the filter is a plain
+    comparison on two long columns: Catalyst pushes it into the
+    parquet scan (PushedFilters), where column-chunk min/max statistics
+    skip whole row groups before a single payload byte is read — the
+    100 TB path.  The array-expression fallback only runs for span-less
+    legacy/foreign rows (still metadata-only, but it must evaluate the
+    segment arrays of every row in the surviving partitions).
     """
+    materialized = "span_start_s" in frames.columns and "span_end_s" in frames.columns
     spanned = frame_time_span(frames)
     keep = (F.col("span_end_s") >= F.lit(int(t0_s))) & (
         F.col("span_start_s") <= F.lit(int(t1_s))
     )
+    if materialized:
+        # null-keeping expressed as pushable disjuncts (In/IsNull/
+        # comparison translate to parquet filters; a coalesce() wrapper
+        # would block the pushdown and with it the row-group pruning)
+        keep = keep | F.col("span_start_s").isNull() | F.col("span_end_s").isNull()
+        return spanned.filter(keep)
+    # computed spans were only scaffolding — restore the input schema
     return spanned.filter(F.coalesce(keep, F.lit(True))).drop(
         "span_start_s", "span_end_s"
     )

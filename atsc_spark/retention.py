@@ -448,6 +448,14 @@ class TieredStore:
 
             # one job: fit all moved days into the staging area
             staging = f"{self.path('_staging')}/{target}"
+            if "span_start_s" in out.columns:
+                # cluster frame rows by time inside each task (no
+                # shuffle): per-day files then carry tight
+                # span_start_s/span_end_s row-group statistics, so a
+                # sub-day read's pushed span filter skips whole row
+                # groups; sorting by day first also minimizes the
+                # partitionBy writer's concurrently-open files
+                out = out.sortWithinPartitions("day", "span_start_s")
             out.write.mode("overwrite").partitionBy("day").parquet(staging)
 
             # validate staged counts before touching target or source

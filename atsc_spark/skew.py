@@ -82,3 +82,69 @@ def two_phase_count_distinct(
         F.countDistinct(distinct_col).alias("partial")
     )
     return phase1.groupBy(*group_cols).agg(F.sum("partial").alias("n_distinct"))
+
+
+def task_skew_probe(spark, action, group: str = "skew-probe") -> list[dict]:
+    """Run ``action()`` under a job group and return PER-TASK runtime
+    distributions for every stage it executed, via the Spark UI REST
+    API — the measured evidence that a hot key did (or did not) pin a
+    straggler task.
+
+    Returns one dict per stage, heaviest first:
+    ``{stage_id, n_tasks, total_ms, max_ms, median_ms, skew_ratio}``
+    where ``skew_ratio = max/median`` task executorRunTime.  A value
+    near 1 means flat tasks; >3 flags a straggler.  Works in any
+    deploy mode with the UI enabled (default); returns ``[]`` if the
+    REST endpoint is unavailable rather than failing the job.
+    """
+    import json as _json
+    import statistics
+    import urllib.request
+
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "task skew probe", False)
+    try:
+        action()
+    finally:
+        sc.setJobGroup("", "")
+    try:
+        job_ids = sc.statusTracker().getJobIdsForGroup(group)
+        stage_ids: set[int] = set()
+        for j in job_ids:
+            info = sc.statusTracker().getJobInfo(j)
+            if info is not None:
+                stage_ids.update(info.stageIds)
+        base = sc.uiWebUrl
+        app_id = sc.applicationId
+        out = []
+        for sid in sorted(stage_ids):
+            url = f"{base}/api/v1/applications/{app_id}/stages/{sid}?details=true"
+            try:
+                with urllib.request.urlopen(url, timeout=10) as resp:
+                    attempts = _json.load(resp)
+            except Exception:
+                continue
+            for att in attempts:
+                tasks = att.get("tasks") or {}
+                times = [
+                    t["taskMetrics"]["executorRunTime"]
+                    for t in tasks.values()
+                    if t.get("taskMetrics") is not None
+                ]
+                if not times:
+                    continue
+                med = statistics.median(times)
+                out.append(
+                    {
+                        "stage_id": sid,
+                        "n_tasks": len(times),
+                        "total_ms": int(sum(times)),
+                        "max_ms": int(max(times)),
+                        "median_ms": int(med),
+                        "skew_ratio": round(max(times) / max(med, 1.0), 2),
+                    }
+                )
+        out.sort(key=lambda s: -s["total_ms"])
+        return out
+    except Exception:
+        return []

@@ -217,6 +217,44 @@ def main() -> None:
     }
     _f_cached.unpersist()
 
+    # row-group-level evidence for the materialized span columns: write
+    # the frames as parquet (small row groups so the store has many)
+    # and count, via the parquet footer statistics alone, how many row
+    # groups a 1-day window could skip — exactly the min/max check the
+    # scan performs when prune_frames_to_range's pushed filters reach it
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    _tmp = _tempfile.mkdtemp(prefix="tier_prune_rg_")
+    try:
+        (
+            _frames.coalesce(1)
+            .sortWithinPartitions("span_start_s")  # as the tier writer does
+            .write.mode("overwrite")
+            .option("parquet.block.size", 16 * 1024)
+            .parquet(_tmp)
+        )
+        t0_rg, t1_rg = int(span.lo), int(span.lo) + 86_400
+        rg_total = rg_match = 0
+        for fn in os.listdir(_tmp):
+            if not fn.endswith(".parquet"):
+                continue
+            md = _pq.ParquetFile(os.path.join(_tmp, fn)).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                s = rg.column(cols["span_start_s"]).statistics
+                e = rg.column(cols["span_end_s"]).statistics
+                rg_total += 1
+                if s is None or e is None or (e.max >= t0_rg and s.min <= t1_rg):
+                    rg_match += 1
+        extras["tier_prune"]["rowgroups_total"] = rg_total
+        extras["tier_prune"]["rowgroups_matching_1d"] = rg_match
+    finally:
+        _shutil.rmtree(_tmp, ignore_errors=True)
+
     _gorilla_state: dict = {}
 
     def run_gorilla():

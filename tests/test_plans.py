@@ -88,6 +88,51 @@ def test_decode_frames_shuffle_contract(spark, tmp_path):
         cached.unpersist()
 
 
+def test_span_prune_pushes_to_parquet_scan(spark, tmp_path):
+    """Materialized span columns make a time-range prune a plain long
+    comparison that reaches the parquet scan as PushedFilters — the
+    row-group min/max statistics then skip whole groups before any
+    payload byte is read.  The pushed path must keep exactly the same
+    frames as the legacy array-expression fallback."""
+    from atsc_spark.fixtures import monitoring_series
+    from atsc_spark.frames import fit_frames, prune_frames_to_range
+
+    # 5 days of frames per series (4320 samples/day at 20 s cadence):
+    # day-grouped fitting yields frames with DISTINCT spans to prune
+    frames = fit_frames(
+        monitoring_series(spark, n_series=2, samples_per_series=5 * 4320)
+    )
+    path = str(tmp_path / "span_frames")
+    frames.write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert "span_start_s" in stored.columns  # fit materializes the span
+
+    lo, hi = stored.agg(
+        F.min("span_start_s"), F.max("span_end_s")
+    ).collect()[0]
+    t0 = lo + (hi - lo) // 3
+    t1 = lo + (hi - lo) // 2
+
+    pruned = prune_frames_to_range(stored, t0, t1)
+    plan = plan_of(pruned)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "span_" in pushed[0], f"span filter not pushed: {pushed}"
+
+    # identical frame set vs the array-metadata fallback path
+    legacy = prune_frames_to_range(
+        stored.drop("span_start_s", "span_end_s"), t0, t1
+    )
+    a = sorted(
+        (r.conv_id, r.metric, r.frame_idx)
+        for r in pruned.select("conv_id", "metric", "frame_idx").collect()
+    )
+    b = sorted(
+        (r.conv_id, r.metric, r.frame_idx)
+        for r in legacy.select("conv_id", "metric", "frame_idx").collect()
+    )
+    assert a == b and 0 < len(a) < stored.count()
+
+
 def test_fit_frames_single_shuffle(spark):
     """The fit pipeline shuffles exactly once: the pinned hash
     repartition on the group key; the groupBy reuses that partitioning."""
