@@ -431,6 +431,24 @@ def decode_granularity(sel: DataFrame, source: DataFrame, num_tasks: int | None)
     # 20M-row decode at 8 cores; the small-corpus penalty is ~0.1 s)
     par = 2 * source.sparkSession.sparkContext.defaultParallelism
     if source.storageLevel.useMemory or source.storageLevel.useDisk:
+        # cached input: FLOOR the per-task decode work at ~1 MB of
+        # compressed rows (~250k samples at the ~4 B/sample gorilla
+        # ratio).  The numpy decode runs ~8 Msamples/s/core, so a
+        # smaller task spends more on Python-worker round-trip + Arrow
+        # setup than on decoding — the fit writes its byte-light output
+        # at 8x-parallelism task counts, and decoding a 1M-sample
+        # corpus over those 256 cache partitions measured 1.3 Ms/s vs
+        # 2.4 at 5 tasks (32 cores).  Sizing reads the CACHED PLAN
+        # STATISTICS (driver-side metadata) — an agg job over the many
+        # tiny cache partitions would cost what it saves.  Bigger
+        # inputs still fan out to the full 2x parallelism.
+        try:
+            size_b = int(
+                source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            par = max(1, min(par, size_b // (1 << 20) + 1))
+        except Exception:
+            pass
         return sel.coalesce(par)
     return sel.repartition(par)
 

@@ -118,32 +118,35 @@ def task_skew_probe(spark, action, group: str = "skew-probe") -> list[dict]:
         app_id = sc.applicationId
         out = []
         for sid in sorted(stage_ids):
-            url = f"{base}/api/v1/applications/{app_id}/stages/{sid}?details=true"
+            # the dedicated taskList endpoint; the stage endpoint's
+            # embedded tasks map is not reliably populated
+            url = (
+                f"{base}/api/v1/applications/{app_id}/stages/{sid}/0/"
+                f"taskList?length=100000"
+            )
             try:
                 with urllib.request.urlopen(url, timeout=10) as resp:
-                    attempts = _json.load(resp)
+                    tasks = _json.load(resp)
             except Exception:
                 continue
-            for att in attempts:
-                tasks = att.get("tasks") or {}
-                times = [
-                    t["taskMetrics"]["executorRunTime"]
-                    for t in tasks.values()
-                    if t.get("taskMetrics") is not None
-                ]
-                if not times:
-                    continue
-                med = statistics.median(times)
-                out.append(
-                    {
-                        "stage_id": sid,
-                        "n_tasks": len(times),
-                        "total_ms": int(sum(times)),
-                        "max_ms": int(max(times)),
-                        "median_ms": int(med),
-                        "skew_ratio": round(max(times) / max(med, 1.0), 2),
-                    }
-                )
+            times = [
+                t["taskMetrics"]["executorRunTime"]
+                for t in tasks
+                if t.get("taskMetrics") is not None
+            ]
+            if not times:
+                continue
+            med = statistics.median(times)
+            out.append(
+                {
+                    "stage_id": sid,
+                    "n_tasks": len(times),
+                    "total_ms": int(sum(times)),
+                    "max_ms": int(max(times)),
+                    "median_ms": int(med),
+                    "skew_ratio": round(max(times) / max(med, 1.0), 2),
+                }
+            )
         out.sort(key=lambda s: -s["total_ms"])
         return out
     except Exception:

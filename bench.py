@@ -309,6 +309,25 @@ def main() -> None:
     )
     timed("q_ann_topk", lambda: Q.q_ann_cosine_topk(spark, sf_dir).count())
 
+    # headline since r5 (was an untimed extra): LSH candidates ->
+    # pointer-jumping connected components on the sf documents table.
+    # Budget: ~5-8 s at sf0.1 — round-overhead-bound (each of the
+    # ~3-5 label-propagation rounds is one Spark action over two
+    # shuffle joins), NOT data-bound; the same rounds amortize at the
+    # 100 TB tier.  Wall comparability: r4 and earlier walls exclude
+    # this query — see wall_excl_dedup_clusters in the extras.
+    def run_dedup_clusters():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = _dedup.minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4, max_bucket=200
+        )
+        labels = _dedup.connected_components(pairs, docs.select("doc_id"))
+        extras["dedup_clusters_sf"] = {
+            "clusters": labels.select("cluster_id").distinct().count()
+        }
+
+    timed("q_dedup_clusters", run_dedup_clusters)
+
     # adversarial-scale dedup evidence (untimed): duplicate-heavy corpus
     # at two sizes — candidate growth must stay near-linear and cap
     # truncation visible, not silent
@@ -321,24 +340,35 @@ def main() -> None:
     extras["lsh_scale"] = lsh_scale
     extras["lsh_dropped_buckets"] = lsh_scale["docs_100000"]["dropped_buckets"]
 
-    # duplicate clustering at the dup-heavy 10k corpus (untimed;
-    # production fast-path xxhash LSH -> connected components):
-    # connected_components raises on non-convergence, so completing at
-    # all IS the convergence evidence (pointer jumping, O(log n) rounds)
-    t0 = time.time()
-    dup_docs = documents_dupheavy(spark, 10_000)
-    pairs = _dedup.minhash_lsh_candidates(
-        dup_docs, num_hashes=16, bands=4, max_bucket=200
+    # hot-key skew evidence on the fit path (untimed): ONE conversation
+    # carries half of all turns; per-task runtimes of the derive+fit
+    # stages must stay flat (max/median < 3x).  Mechanism: the fit
+    # group key includes the day (bounding any group at one series-day)
+    # and derive's partial aggregation combines map-side, so the hot
+    # conv cannot pin a task.  Worker pool is warm here (earlier
+    # queries), matching steady-state cluster behavior.
+    from atsc_spark.fixtures import hot_transcripts
+    from atsc_spark.skew import hot_keys, task_skew_probe
+
+    hot_t = hot_transcripts(spark, n_convs=64, total_turns=400_000, hot_share=0.5)
+    hot_detected = hot_keys(hot_t, ["conv_id"], fraction=0.02).collect()
+    stages = task_skew_probe(
+        spark,
+        lambda: fit_frames(derive_series(hot_t, include_global=False)).count(),
+        group="bench-fit-skew",
     )
-    labels = _dedup.connected_components(pairs, dup_docs.select("doc_id"))
-    n_clusters = labels.select("cluster_id").distinct().count()
-    extras["dedup_clusters_10k"] = {
-        "sec": round(time.time() - t0, 2),
-        "docs": 10_000,
-        "clusters": n_clusters,
+    heavy = stages[0] if stages else {}
+    extras["fit_skew"] = {
+        "hot_share": 0.5,
+        "hot_keys_detected": [r.conv_id for r in hot_detected],
+        "fit_stage": heavy,
+        "stages": stages[:3],
     }
 
     total = round(sum(timings.values()), 3)
+    extras["wall_excl_dedup_clusters"] = round(
+        total - timings.get("q_dedup_clusters", 0.0), 3
+    )
     events.unpersist()
     print(
         json.dumps(

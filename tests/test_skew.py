@@ -58,3 +58,30 @@ def test_two_phase_count_distinct_matches_exact(spark, skewed):
         for r in skewed.groupBy("role").agg(F.countDistinct("conv_id").alias("n")).collect()
     }
     assert got == exact
+
+
+def test_fit_path_flat_tasks_on_hot_corpus(spark):
+    """The north rule's explicit-skew mandate, measured: with ONE
+    conversation holding half of all turns, the derive+fit job's
+    heaviest stage keeps max/median task runtime < 3x (the fit group
+    key includes the day, so no group outgrows one series-day; hash
+    partitioning spreads the hot conv's groups).  Uses the UI REST
+    task metrics via task_skew_probe; warm worker pool first so the
+    one-off Python daemon fork doesn't masquerade as a straggler."""
+    from atsc_spark.fixtures import hot_transcripts, monitoring_series
+    from atsc_spark.frames import fit_frames
+    from atsc_spark.series import derive_series
+    from atsc_spark.skew import task_skew_probe
+
+    fit_frames(monitoring_series(spark, n_series=4, samples_per_series=64)).count()
+
+    hot = hot_transcripts(spark, n_convs=32, total_turns=120_000, hot_share=0.5)
+    stages = task_skew_probe(
+        spark,
+        lambda: fit_frames(derive_series(hot, include_global=False)).count(),
+        group="test-fit-skew",
+    )
+    assert stages, "UI REST task metrics unavailable"
+    heavy = stages[0]
+    assert heavy["n_tasks"] > 4  # the probe found a real parallel stage
+    assert heavy["skew_ratio"] < 3.0, f"straggler in fit path: {heavy}"
