@@ -130,7 +130,15 @@ class ContinuousRollups:
         """Union read of the given day partitions across tiers, with
         the source ``day`` carried through (rows aggregate under the
         partition they came from, so a refresh rewrites exactly those
-        partitions)."""
+        partitions).
+
+        Decoded tiers lose the partition column through the decoder, so
+        ``day`` is re-derived as ``to_date(bucket_ts)`` — the same
+        expression ``TieredStore.write_raw`` partitions by.  Both run
+        under the engine's pinned UTC session timezone (session.py), so
+        the re-derivation reproduces the partition value exactly; a
+        deployment that overrides the session TZ between write and
+        refresh would mis-bucket boundary rows and must not do that."""
         isos = [d.isoformat() for d in days]
         t0_s = min(int(_midnight_s(d)) for d in days)
         t1_s = max(int(_midnight_s(d)) for d in days) + 86_400 + 2 * 86_400
