@@ -187,6 +187,90 @@ class ContinuousRollups:
         except Exception:
             return None
 
+    def serve(
+        self,
+        t0,
+        t1,
+        max_points: int = 2000,
+        conv_ids: list[str] | None = None,
+        metrics: list[str] | None = None,
+    ) -> DataFrame:
+        """Dashboard-style read SERVED FROM THE MATERIALIZED TABLES:
+        pick the finest grain that keeps each series under
+        ``max_points`` (same grain table as
+        ``TieredStore.choose_resolution``), then read that rollup table
+        pruned by day partitions and trimmed to the bucket range — no
+        tier decode, no re-aggregation.  This is what the continuous
+        aggregates exist for: the query cost is proportional to the
+        OUTPUT points, not the underlying raw data.
+
+        Returns bucket-aligned aggregates: every bucket whose start
+        falls in ``[t0, t1]``, aggregated over the bucket's WHOLE
+        contents (TimescaleDB continuous-aggregate semantics — an
+        on-the-fly ``rollup(read_series(t0, t1))`` truncates the
+        boundary buckets' inputs instead, so the two agree exactly
+        when the range is bucket-aligned).
+
+        Falls back to ``store.read_auto`` when the chosen grain is
+        finer than 1m (native points are not materialized) or the
+        rollup table has never been refreshed."""
+        lo_s, hi_s = _epoch_bounds(t0, t1)
+        interval = self.store.choose_resolution(max(hi_s - lo_s, 1), max_points)
+        grain = _GRAIN_BY_INTERVAL.get(interval)
+        tbl = self.read(grain) if grain else None
+        if tbl is None:
+            return self.store.read_auto(
+                t0, t1, max_points, conv_ids=conv_ids, metrics=metrics
+            )
+        # day partition pruning (±2-day TZ widening as in read_series),
+        # then the exact bucket trim
+        out = tbl.filter(
+            (F.col("day") >= F.date_sub(F.to_date(F.timestamp_seconds(F.lit(lo_s))), 2))
+            & (F.col("day") <= F.date_add(F.to_date(F.timestamp_seconds(F.lit(hi_s))), 2))
+            & (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(lo_s)))
+            & (F.col("bucket_ts") <= F.timestamp_seconds(F.lit(hi_s)))
+        )
+        if conv_ids is not None:
+            out = out.filter(F.col("conv_id").isin(list(conv_ids)))
+        if metrics is not None:
+            out = out.filter(F.col("metric").isin(list(metrics)))
+        return out.select(
+            "conv_id", "metric", "bucket_ts", "cnt", "sum", "min", "max", "avg"
+        )
+
+    def compact_state(self, max_files: int = 64) -> bool:
+        """The fingerprint state log appends one small file per refresh;
+        at one refresh per hour that is ~9k files/year of pure metadata
+        churn.  When the file count exceeds ``max_files``, rewrite the
+        latest-per-day snapshot through a staged-rename swap (readers
+        see the old log or the new one, never a partial).  Returns True
+        if a compaction ran.  Called from :meth:`refresh` under the
+        writer lease."""
+        fs, root = self.store._fs(f"{self.base}/_state")
+        try:
+            files = [s for s in fs.listStatus(root) if s.isFile()]
+        except Exception:
+            return False
+        if len(files) <= max_files:
+            return False
+        latest = self.spark.createDataFrame(
+            [(iso, fp) for iso, fp in self._recorded_fingerprints().items()],
+            "day string, fingerprint string",
+        ).withColumn("updated_at", F.current_timestamp())
+        staged = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.base}/_state_new")
+        fs.delete(staged, True)
+        latest.coalesce(1).write.parquet(str(staged))
+        old = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.base}/_state_old")
+        fs.delete(old, True)
+        if not fs.rename(root, old):
+            fs.delete(staged, True)
+            return False
+        if not fs.rename(staged, root):
+            fs.rename(old, root)  # roll back, never leave no state
+            return False
+        fs.delete(old, True)
+        return True
+
     # -------------------------------------------------------- refresh
 
     def refresh(self, days: list[date] | None = None, lease_ttl_s: int = 1800) -> list[str]:
@@ -205,7 +289,23 @@ class ContinuousRollups:
             stop_heartbeat()
             self.store._release_lease(holder)
 
+    def _recover_state(self) -> None:
+        """Finish or roll back a crashed :meth:`compact_state`: a crash
+        between its two renames leaves the log parked at ``_state_old``
+        with no live ``_state`` — restore it (losing the log only
+        costs a spurious full re-fingerprint, but restoring is free);
+        drop any orphaned ``_state_new`` staging."""
+        fs, root = self.store._fs(f"{self.base}/_state")
+        old = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.base}/_state_old")
+        if not fs.exists(root) and fs.exists(old):
+            fs.rename(old, root)
+        fs.delete(old, True)
+        fs.delete(
+            self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.base}/_state_new"), True
+        )
+
     def _refresh_locked(self, days: list[date] | None) -> list[str]:
+        self._recover_state()
         if days is None:
             days = self.dirty_days()
         if not days:
@@ -263,6 +363,7 @@ class ContinuousRollups:
                 fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
             self.lineage.record(lineage_rows)
         self._record_fingerprints(fps)
+        self.compact_state()
         return [d.isoformat() for d in days]
 
     def _commit_rollup_partition(self, staging: str, grain: str, day: date) -> None:
@@ -280,3 +381,18 @@ def _midnight_s(d: date) -> int:
     from datetime import datetime, timezone
 
     return int(datetime(d.year, d.month, d.day, tzinfo=timezone.utc).timestamp())
+
+
+_GRAIN_BY_INTERVAL = {"1 minute": "1m", "1 hour": "1h", "1 day": "1d"}
+_GRAIN_S = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def _epoch_bounds(t0, t1):
+    from datetime import date as _date, datetime as _datetime
+
+    from .retention import _epoch_s
+
+    lo_s, hi_s = _epoch_s(t0), _epoch_s(t1)
+    if isinstance(t1, _date) and not isinstance(t1, _datetime):
+        hi_s += 86_400 - 1
+    return lo_s, hi_s

@@ -170,3 +170,87 @@ def test_fully_aged_day_keeps_materialized_rollup(spark, cagg_series, tmp_path):
         after = _pdf(cagg.read(g))
         assert len(after) == len(before[g])
     assert cagg.refresh() == []  # and they are clean now
+
+
+def test_serve_from_materialized_tables(spark, cagg_series, tmp_path):
+    """serve() answers a dashboard read from the materialized rollup
+    (no decode, no re-aggregation) and equals the on-the-fly
+    rollup(read_series(...)) on a bucket-aligned range; a native-grain
+    request falls back to the store's pruned read path."""
+    from datetime import datetime, timezone
+
+    store = TieredStore(
+        spark,
+        str(tmp_path / "caggserve"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(cagg_series)
+    cagg = ContinuousRollups(spark, store)
+    cagg.refresh()
+
+    bounds = cagg_series.agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    ).collect()[0]
+    lo_s = int(bounds.lo.replace(tzinfo=timezone.utc).timestamp())
+    hi_s = int(bounds.hi.replace(tzinfo=timezone.utc).timestamp())
+    # hour-aligned range inside the data, wide enough to force 1h grain
+    t0 = datetime.fromtimestamp(lo_s - lo_s % 3600 + 3600, tz=timezone.utc)
+    t1 = datetime.fromtimestamp(hi_s - hi_s % 3600 - 1, tz=timezone.utc)
+    span = int(t1.timestamp()) - int(t0.timestamp())
+    max_points = span // 3600 + 1  # 1m would blow the budget, 1h just fits
+
+    served = cagg.serve(t0, t1, max_points=max_points)
+    on_the_fly = rollup(store.read_series(t0, t1), "1 hour")
+    a = _pdf(served)
+    b = _pdf(on_the_fly)
+    assert len(a) == len(b) > 0
+    assert np.array_equal(a["cnt"].to_numpy(), b["cnt"].to_numpy())
+    assert np.allclose(a["sum"].to_numpy(), b["sum"].to_numpy(), rtol=0, atol=1e-9)
+
+    # a tiny span still serves from the 1m materialized table
+    small = cagg.serve(
+        t0, datetime.fromtimestamp(t0.timestamp() + 120, tz=timezone.utc)
+    )
+    assert "cnt" in small.columns and small.count() > 0
+
+    # un-refreshed store (no materialized tables) -> read_auto fallback
+    fresh = ContinuousRollups(
+        spark,
+        TieredStore(
+            spark, str(tmp_path / "caggserve"), store.policy
+        ),
+    )
+    fresh.base = str(tmp_path / "nowhere")  # no _rollups here
+    fallback = fresh.serve(t0, t1, max_points=max_points)
+    assert {"cnt", "sum"} <= set(fallback.columns)  # read_auto coarsened
+
+
+def test_state_log_compaction_and_crash_recovery(spark, cagg_series, tmp_path):
+    """The per-refresh fingerprint appends compact into one snapshot
+    once the file count passes the bound; a crash between the two
+    renames is recovered at the next refresh; fingerprints survive both
+    (nothing spuriously dirty)."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "caggstate"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(cagg_series)
+    cagg = ContinuousRollups(spark, store)
+    cagg.refresh()
+    for _ in range(3):  # extra no-op-ish appends: more state files
+        cagg._record_fingerprints({d: cagg._day_fingerprint(d) for d in cagg.store.tier_days("raw")})
+
+    fs, root = store._fs(f"{cagg.base}/_state")
+    n_before = len([s for s in fs.listStatus(root) if s.isFile()])
+    assert cagg.compact_state(max_files=2) is True
+    n_after = len([s for s in fs.listStatus(root) if s.isFile()])
+    assert n_after < n_before
+    assert cagg.refresh() == []  # fingerprints preserved, nothing dirty
+
+    # crash window: log parked at _state_old, live _state missing
+    old = spark._jvm.org.apache.hadoop.fs.Path(f"{cagg.base}/_state_old")
+    assert fs.rename(root, old)
+    cagg._recover_state()
+    assert fs.exists(root) and not fs.exists(old)
+    assert cagg.refresh() == []  # restored log still clean
