@@ -104,10 +104,11 @@ class ContinuousRollups:
         ).withColumn("updated_at", F.current_timestamp())
         df.coalesce(1).write.mode("append").parquet(f"{self.base}/_state")
 
-    def dirty_days(self) -> list[date]:
-        """Days whose source file set changed since the last refresh
-        (new days included; fully-aged-to-rollup days show as EMPTY and
-        are handled by :meth:`refresh`)."""
+    def _dirty_map(self) -> dict[date, str]:
+        """{dirty day: its CURRENT fingerprint} — computed once so the
+        refresh can record exactly what it compared against (a second
+        fingerprint pass would double the per-day listStatus calls,
+        thousands of redundant object-store LISTs at year scale)."""
         recorded = self._recorded_fingerprints()
         seen: set[date] = set()
         for tier in _SOURCE_TIERS:
@@ -117,12 +118,18 @@ class ContinuousRollups:
         # EMPTY and the refresh marks them clean while KEEPING the
         # materialized rollups
         seen.update(date.fromisoformat(iso) for iso in recorded)
-        out = [
-            day
-            for day in seen
-            if recorded.get(day.isoformat()) != self._day_fingerprint(day)
-        ]
-        return sorted(out)
+        out: dict[date, str] = {}
+        for day in seen:
+            fp = self._day_fingerprint(day)
+            if recorded.get(day.isoformat()) != fp:
+                out[day] = fp
+        return out
+
+    def dirty_days(self) -> list[date]:
+        """Days whose source file set changed since the last refresh
+        (new days included; fully-aged-to-rollup days show as EMPTY and
+        are handled by :meth:`refresh`)."""
+        return sorted(self._dirty_map())
 
     # ----------------------------------------------------------- read
 
@@ -211,9 +218,10 @@ class ContinuousRollups:
         boundary buckets' inputs instead, so the two agree exactly
         when the range is bucket-aligned).
 
-        Falls back to ``store.read_auto`` when the chosen grain is
-        finer than 1m (native points are not materialized) or the
-        rollup table has never been refreshed."""
+        Falls back to ``store.read_auto`` when the chosen grain's
+        rollup table has never been refreshed (``choose_resolution``
+        never picks finer than 1m, so the materialized tables cover
+        every grain it can return)."""
         lo_s, hi_s = _epoch_bounds(t0, t1)
         interval = self.store.choose_resolution(max(hi_s - lo_s, 1), max_points)
         grain = _GRAIN_BY_INTERVAL.get(interval)
@@ -241,17 +249,24 @@ class ContinuousRollups:
     def compact_state(self, max_files: int = 64) -> bool:
         """The fingerprint state log appends one small file per refresh;
         at one refresh per hour that is ~9k files/year of pure metadata
-        churn.  When the file count exceeds ``max_files``, rewrite the
-        latest-per-day snapshot through a staged-rename swap (readers
-        see the old log or the new one, never a partial).  Returns True
-        if a compaction ran.  Called from :meth:`refresh` under the
-        writer lease."""
+        churn.  When the file count exceeds ``max_files``, write a
+        latest-per-day snapshot and move its files INTO the live log
+        dir (each move an atomic file rename), then delete the
+        pre-snapshot files.  The live dir is never absent or empty, so
+        a concurrent lease-free reader (``dirty_days`` from a
+        monitoring process) always sees a complete log: before the move
+        it reads the old files; between the move and the deletes it
+        reads old + snapshot, where latest-per-updated_at dedup yields
+        the same answer; a crash mid-delete just leaves harmless
+        duplicates for the next compaction.  Returns True if a
+        compaction ran.  Called from :meth:`refresh` under the writer
+        lease."""
         fs, root = self.store._fs(f"{self.base}/_state")
         try:
-            files = [s for s in fs.listStatus(root) if s.isFile()]
+            old_files = [s.getPath() for s in fs.listStatus(root) if s.isFile()]
         except Exception:
             return False
-        if len(files) <= max_files:
+        if len(old_files) <= max_files:
             return False
         latest = self.spark.createDataFrame(
             [(iso, fp) for iso, fp in self._recorded_fingerprints().items()],
@@ -260,15 +275,24 @@ class ContinuousRollups:
         staged = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.base}/_state_new")
         fs.delete(staged, True)
         latest.coalesce(1).write.parquet(str(staged))
-        old = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.base}/_state_old")
-        fs.delete(old, True)
-        if not fs.rename(root, old):
-            fs.delete(staged, True)
+        import uuid as _uuid
+
+        tag = _uuid.uuid4().hex[:8]
+        moved = False
+        for st in fs.listStatus(staged):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(".parquet"):
+                dst = self.spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{self.base}/_state/compacted-{tag}-{name}"
+                )
+                if not fs.rename(st.getPath(), dst):
+                    raise RuntimeError(f"cagg state compaction: rename to {dst} failed")
+                moved = True
+        fs.delete(staged, True)
+        if not moved:
             return False
-        if not fs.rename(staged, root):
-            fs.rename(old, root)  # roll back, never leave no state
-            return False
-        fs.delete(old, True)
+        for p in old_files:
+            fs.delete(p, False)
         return True
 
     # -------------------------------------------------------- refresh
@@ -290,11 +314,11 @@ class ContinuousRollups:
             self.store._release_lease(holder)
 
     def _recover_state(self) -> None:
-        """Finish or roll back a crashed :meth:`compact_state`: a crash
-        between its two renames leaves the log parked at ``_state_old``
-        with no live ``_state`` — restore it (losing the log only
-        costs a spurious full re-fingerprint, but restoring is free);
-        drop any orphaned ``_state_new`` staging."""
+        """Clean up after a crashed :meth:`compact_state`: drop any
+        orphaned ``_state_new`` staging (a crash before the move-in
+        leaves it; the live log is untouched).  Also restores a legacy
+        ``_state_old`` parking dir from the earlier dir-swap design,
+        should one exist on disk."""
         fs, root = self.store._fs(f"{self.base}/_state")
         old = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.base}/_state_old")
         if not fs.exists(root) and fs.exists(old):
@@ -307,16 +331,27 @@ class ContinuousRollups:
     def _refresh_locked(self, days: list[date] | None) -> list[str]:
         self._recover_state()
         if days is None:
-            days = self.dirty_days()
+            fps = self._dirty_map()  # one fingerprint pass, reused below
+            days = sorted(fps)
+        else:
+            fps = {d: self._day_fingerprint(d) for d in days}
         if not days:
             return []
-        fps = {d: self._day_fingerprint(d) for d in days}
         # fully-aged days (no points left in any source tier): keep the
         # existing materialized rollups, just mark clean
         compute = [d for d in days if fps[d] != "EMPTY"]
         if compute:
             src = self._read_days(compute)
-            t_group = _time_mod.time()
+            if src is None:
+                # non-EMPTY fingerprints but nothing readable in any
+                # tier (e.g. zero-byte leftovers from a killed writer):
+                # surface it — recording these days clean would hide
+                # real data behind a green refresh
+                raise RuntimeError(
+                    "cagg refresh: day partitions "
+                    f"{[d.isoformat() for d in compute]} have files but no "
+                    "readable tier data; fix or drop the partitions"
+                )
             fine = rollup(src.select("conv_id", "metric", "bucket_ts", "value"), GRAINS["1m"])
             # re-attach the partition day from the bucket (buckets at
             # 1m/1h/1d granularity never straddle a UTC day boundary)
@@ -331,6 +366,7 @@ class ContinuousRollups:
             fs, _ = self.store._fs(self.base)
             lineage_rows = []
             for grain, df in (("1m", r1m), ("1h", r1h), ("1d", r1d)):
+                t_group = _time_mod.time()  # per grain: SUM(wall_ms) == real wall
                 staging = f"{self.base}/_staging/{grain}"
                 (
                     df.filter(F.col("day").isin(isos))
@@ -367,14 +403,10 @@ class ContinuousRollups:
         return [d.isoformat() for d in days]
 
     def _commit_rollup_partition(self, staging: str, grain: str, day: date) -> None:
-        iso = day.isoformat()
-        fs, dst = self.store._fs(f"{self.base}/{grain}/day={iso}")
-        src = self.spark._jvm.org.apache.hadoop.fs.Path(f"{staging}/day={iso}")
-        if not fs.exists(src):
-            return  # day produced no rows — nothing to publish
-        fs.delete(dst, True)
-        fs.mkdirs(dst.getParent())
-        fs.rename(src, dst)
+        # delegate to the store's staged-commit (raises on rename
+        # failure — a swallowed failure here would leave the day's
+        # rollup DELETED while the fingerprint marks it clean)
+        self.store._commit_partition(staging, f"_rollups/{grain}", day)
 
 
 def _midnight_s(d: date) -> int:
@@ -383,8 +415,7 @@ def _midnight_s(d: date) -> int:
     return int(datetime(d.year, d.month, d.day, tzinfo=timezone.utc).timestamp())
 
 
-_GRAIN_BY_INTERVAL = {"1 minute": "1m", "1 hour": "1h", "1 day": "1d"}
-_GRAIN_S = {"1m": 60, "1h": 3600, "1d": 86400}
+_GRAIN_BY_INTERVAL = {v: k for k, v in GRAINS.items()}
 
 
 def _epoch_bounds(t0, t1):

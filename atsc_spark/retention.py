@@ -234,6 +234,7 @@ class TieredStore:
                     self._lease_holder = holder  # for heartbeat fallback
                     self._lease_ttl_s = ttl_s
                     self._heartbeat_failures = 0
+                    self._last_beat_ok = _time.time()
                     return holder
                 raise RetentionLockHeld(
                     f"retention lease at {self.path('_lock')} lost to a "
@@ -279,18 +280,32 @@ class TieredStore:
         try:
             fs.setTimes(lock, int(_time.time() * 1000), -1)
             self._heartbeat_failures = 0
+            self._last_beat_ok = _time.time()
             return True
         except Exception:
             pass
-        try:  # fallback: content rewrite advances mtime everywhere
+        try:  # fallback: content rewrite advances mtime everywhere.
+            # The read-check + create(overwrite) pair is NOT atomic, so
+            # it could clobber a usurper's lock — but a usurper can
+            # only exist once the lease has gone STALE (no mtime
+            # advance for a full ttl).  Gate the fallback on provable
+            # freshness (last successful beat within ttl/2): inside
+            # that window no takeover is possible, so there is no lock
+            # to clobber; past it, fail the beat and let the failure
+            # counter surface the problem instead of racing.
             mine = getattr(self, "_lease_holder", None)
-            if mine is not None and self._read_lock_holder() == mine:
+            fresh = (
+                _time.time() - getattr(self, "_last_beat_ok", 0.0)
+                < getattr(self, "_lease_ttl_s", 0) / 2.0
+            )
+            if mine is not None and fresh and self._read_lock_holder() == mine:
                 out = fs.create(lock, True)
                 try:
                     out.write(bytearray(mine.encode()))
                 finally:
                     out.close()
                 self._heartbeat_failures = 0
+                self._last_beat_ok = _time.time()
                 return True
         except Exception:
             pass

@@ -215,7 +215,6 @@ def main() -> None:
         "pruned_to_1d_frames": int(_p.frames or 0),
         "pruned_to_1d_payload_bytes": int(_p.bytes or 0),
     }
-    _f_cached.unpersist()
 
     # row-group-level evidence for the materialized span columns: write
     # the frames as parquet (small row groups so the store has many)
@@ -230,7 +229,9 @@ def main() -> None:
     _tmp = _tempfile.mkdtemp(prefix="tier_prune_rg_")
     try:
         (
-            _frames.coalesce(1)
+            # from the CACHE: coalesce(1) on uncached _frames would
+            # propagate up and run the whole fit single-task
+            _f_cached.coalesce(1)
             .sortWithinPartitions("span_start_s")  # as the tier writer does
             .write.mode("overwrite")
             .option("parquet.block.size", 16 * 1024)
@@ -254,6 +255,7 @@ def main() -> None:
         extras["tier_prune"]["rowgroups_matching_1d"] = rg_match
     finally:
         _shutil.rmtree(_tmp, ignore_errors=True)
+        _f_cached.unpersist()
 
     _gorilla_state: dict = {}
 
