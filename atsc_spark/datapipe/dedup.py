@@ -792,6 +792,40 @@ class ConvergenceError(RuntimeError):
     mis-cluster, so the caller must see it."""
 
 
+def _driver_union_find(edge_pdf, a_col: str, b_col: str):
+    """Union-find with path compression over a pandas edge list;
+    returns (node_values, min_root_values) for the nodes that appear in
+    edges (singletons never enter the driver)."""
+    import numpy as np
+    import pandas as pd
+
+    codes_a, uniques = pd.factorize(
+        pd.concat([edge_pdf[a_col], edge_pdf[b_col]], ignore_index=True)
+    )
+    n = len(uniques)
+    a = codes_a[: len(edge_pdf)]
+    b = codes_a[len(edge_pdf):]
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[ry] = rx
+    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    # min node value per component (matches the distributed min-label)
+    vals = pd.Series(uniques)
+    min_by_root = vals.groupby(roots).transform("min")
+    return vals.to_numpy(), min_by_root.to_numpy()
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -800,23 +834,37 @@ def connected_components(
     node_col: str = "doc_id",
     max_iter: int = 25,
     strict: bool = True,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over candidate
     pairs; cluster_id = the minimum doc_id in the component, singletons
     cluster with themselves.
 
-    Min-label propagation with pointer jumping: each round every node
-    takes the minimum label among itself and its neighbors, then maps
-    that label through the fresh label table again (``label :=
-    label(label)``), so the distance a component-min travels roughly
-    doubles per round — O(log n) rounds even on CHAIN-shaped components
-    (shingle/sliding-window duplicates), where plain propagation needs
-    O(diameter).  Each round is two shuffle joins + one aggregate;
-    labels are localCheckpoint-ed per round so the lineage (and the
-    plan Catalyst must analyze) stays flat instead of doubling per
-    iteration.  The convergence test compares the summed labels
-    (per-node monotonically non-increasing, so sum equality <=>
-    fixpoint) — one scalar per round, no row-level diff join.
+    **Small-graph fast path**: when the edge list fits comfortably on
+    the driver (``driver_max_edges``, default 2M pairs ≈ 32 MB — the
+    same order as a broadcast-join side), the edges are collected and
+    clustered with union-find + path compression in one pass, and the
+    node→min-root mapping (bounded by 2×edges, NOT by the node count)
+    is broadcast-joined back onto ``nodes`` — singletons never leave
+    the cluster.  A duplicate-candidate graph is sparse by
+    construction (LSH caps bucket sizes), so even billion-document
+    corpora often land here; the distributed path below exists for
+    when they don't.  One count() action decides, result-identical
+    either way (equality pinned in tests).
+
+    **Distributed path**: min-label propagation with pointer jumping —
+    each round every node takes the minimum label among itself and its
+    neighbors, then maps that label through the fresh label table again
+    (``label := label(label)``), so the distance a component-min
+    travels roughly doubles per round — O(log n) rounds even on
+    CHAIN-shaped components (shingle/sliding-window duplicates), where
+    plain propagation needs O(diameter).  Each round is two shuffle
+    joins + one aggregate; labels are localCheckpoint-ed per round so
+    the lineage (and the plan Catalyst must analyze) stays flat instead
+    of doubling per iteration.  The convergence test compares the
+    summed labels (per-node monotonically non-increasing, so sum
+    equality <=> fixpoint) — one scalar per round, no row-level diff
+    join.
 
     If the budget runs out before the fixpoint, raises
     :class:`ConvergenceError` (``strict=True``, default) — never
@@ -824,6 +872,32 @@ def connected_components(
     partial labels for callers that explicitly want best-effort.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+
+    if driver_max_edges and driver_max_edges > 0:
+        # ONE action answers "is it small?" AND fetches the edges:
+        # limit(N+1) bounds what a huge candidate set can materialize
+        # (N+1 rows ≈ 32 MB at the default), and a separate count()
+        # probe would re-run the whole upstream LSH pipeline a second
+        # time for nothing
+        edge_pdf = edges.limit(driver_max_edges + 1).toPandas()
+        if len(edge_pdf) <= driver_max_edges:
+            out_nodes = nodes.select(F.col(node_col).alias("node"))
+            if len(edge_pdf) == 0:
+                return out_nodes.select(
+                    F.col("node").alias(node_col),
+                    F.col("node").alias("cluster_id"),
+                )
+            vals, mins = _driver_union_find(edge_pdf, "src", "dst")
+            mapping = nodes.sparkSession.createDataFrame(
+                list(zip(vals.tolist(), mins.tolist())), ["node", "mapped"]
+            )
+            return (
+                out_nodes.join(F.broadcast(mapping), "node", "left")
+                .select(
+                    F.col("node").alias(node_col),
+                    F.coalesce("mapped", "node").alias("cluster_id"),
+                )
+            )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)

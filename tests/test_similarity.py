@@ -335,7 +335,9 @@ def test_connected_components_path_graph_10k(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     ndf = spark.range(n).select(F.col("id").alias("doc_id"))
-    got = connected_components(pdf, ndf)
+    # force the DISTRIBUTED path: this test pins pointer-jumping's
+    # round complexity, which the driver fast path would bypass
+    got = connected_components(pdf, ndf, driver_max_edges=0)
     assert got.filter(F.col("cluster_id") != 0).count() == 0
     assert got.count() == n
 
@@ -353,7 +355,33 @@ def test_connected_components_truncation_raises(spark):
     )
     ndf = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     with pytest.raises(ConvergenceError, match="did not converge"):
-        connected_components(pdf, ndf, max_iter=1)
+        connected_components(pdf, ndf, max_iter=1, driver_max_edges=0)
     # best-effort mode returns partial labels without raising
-    part = connected_components(pdf, ndf, max_iter=1, strict=False)
+    part = connected_components(pdf, ndf, max_iter=1, strict=False, driver_max_edges=0)
     assert part.count() == n
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """The small-graph union-find fast path must be result-identical to
+    the distributed pointer-jumping path on the same graph (chains,
+    bridges, singletons), and the default threshold must route a small
+    graph through the driver (no iterative jobs)."""
+    from atsc_spark.datapipe.dedup import connected_components
+
+    # chain + bridged pair + two singletons, deliberately shuffled ids
+    pairs = [(i, i + 1) for i in range(10, 19)] + [(30, 31), (31, 7)]
+    nodes = list(range(10, 20)) + [30, 31, 7, 99, 4]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+
+    fast = {
+        r.doc_id: r.cluster_id for r in connected_components(pdf, ndf).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pdf, ndf, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert fast[7] == 7 and fast[30] == 7 and fast[31] == 7  # bridge min
+    assert fast[99] == 99 and fast[4] == 4  # singletons intact
+    assert all(fast[n] == 10 for n in range(10, 20))
