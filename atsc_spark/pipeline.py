@@ -30,7 +30,6 @@ from .fixtures import transcripts
 from .frames import compression_report, fit_frames
 from .lossless import fit_lossless
 from .retention import TieredStore, TierPolicy
-from .rollup import rollup, rollup_cascade_step
 from .series import derive_series
 from .session import get_spark
 
@@ -76,13 +75,16 @@ def run(
     stage("derive", s_derive)
 
     def s_rollup():
-        r1m = rollup(series, "1 minute")
-        r1m.write.mode("overwrite").parquet(f"{store_base}/rollup_1m")
-        r1h = rollup_cascade_step(spark.read.parquet(f"{store_base}/rollup_1m"), "1 hour")
-        r1h.write.mode("overwrite").parquet(f"{store_base}/rollup_1h")
-        r1d = rollup_cascade_step(spark.read.parquet(f"{store_base}/rollup_1h"), "1 day")
-        r1d.write.mode("overwrite").parquet(f"{store_base}/rollup_1d")
-        return spark.read.parquet(f"{store_base}/rollup_1d").count()
+        # incrementally-maintained continuous aggregates (cagg.py): a
+        # rerun fingerprints the day partitions and recomputes only the
+        # dirty ones — day-partitioned 1m/1h/1d tables under
+        # <store>/_rollups/<grain>, served by ContinuousRollups.serve
+        from .cagg import ContinuousRollups
+
+        cagg = ContinuousRollups(spark, store)
+        cagg.refresh()
+        r1d = cagg.read("1d")
+        return r1d.count() if r1d is not None else 0
 
     stage("rollup", s_rollup)
 
