@@ -888,8 +888,12 @@ def connected_components(
                     F.col("node").alias("cluster_id"),
                 )
             vals, mins = _driver_union_find(edge_pdf, "src", "dst")
+            import pandas as pd
+
+            # Arrow path: a Python list-of-tuples createDataFrame would
+            # row-serialize up to 4M mapping rows on the driver
             mapping = nodes.sparkSession.createDataFrame(
-                list(zip(vals.tolist(), mins.tolist())), ["node", "mapped"]
+                pd.DataFrame({"node": vals, "mapped": mins})
             )
             return (
                 out_nodes.join(F.broadcast(mapping), "node", "left")
