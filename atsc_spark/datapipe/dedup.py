@@ -873,14 +873,33 @@ def connected_components(
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
 
+    persisted = None
     if driver_max_edges and driver_max_edges > 0:
+        # Semi-join both endpoints against `nodes` BEFORE the probe:
+        # the distributed rounds drop null-endpoint and
+        # outside-the-node-set edges implicitly (their joins never
+        # match), and the union-find must see the same graph — a null
+        # factorizes to code -1 (negative-indexing the parent array)
+        # and a phantom endpoint would bridge components through a node
+        # the caller excluded.  A semi-join also never matches null, so
+        # one construct closes both holes.
+        nset = nodes.select(F.col(node_col).alias("src"))
+        filtered = edges.join(nset, "src", "leftsemi").join(
+            nset.select(F.col("src").alias("dst")), "dst", "leftsemi"
+        ).select("src", "dst")
+        # Persist so the expensive upstream (the LSH candidate
+        # pipeline) is evaluated ONCE: the probe materializes it, and
+        # if the graph turns out big the distributed rounds reuse the
+        # cache instead of recomputing the candidates from scratch.
+        from pyspark import StorageLevel
+
+        persisted = filtered.persist(StorageLevel.MEMORY_AND_DISK)
         # ONE action answers "is it small?" AND fetches the edges:
-        # limit(N+1) bounds what a huge candidate set can materialize
-        # (N+1 rows ≈ 32 MB at the default), and a separate count()
-        # probe would re-run the whole upstream LSH pipeline a second
-        # time for nothing
-        edge_pdf = edges.limit(driver_max_edges + 1).toPandas()
+        # limit(N+1) bounds what lands on the driver (N+1 rows ≈ 32 MB
+        # at the default) even when the candidate set is huge
+        edge_pdf = persisted.limit(driver_max_edges + 1).toPandas()
         if len(edge_pdf) <= driver_max_edges:
+            persisted.unpersist()
             out_nodes = nodes.select(F.col(node_col).alias("node"))
             if len(edge_pdf) == 0:
                 return out_nodes.select(
@@ -902,6 +921,8 @@ def connected_components(
                     F.coalesce("mapped", "node").alias("cluster_id"),
                 )
             )
+    if persisted is not None:
+        edges = persisted  # big graph: reuse the probe's cached edges
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
@@ -940,6 +961,11 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        if persisted is not None:
+            # round 1's action materialized sym's localCheckpoint; the
+            # probe cache behind it is no longer needed
+            persisted.unpersist()
+            persisted = None
         labels = new_labels
         if new_sum == prev_sum:
             converged = True

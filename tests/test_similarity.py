@@ -385,3 +385,31 @@ def test_connected_components_driver_path_equals_distributed(spark):
     assert fast[7] == 7 and fast[30] == 7 and fast[31] == 7  # bridge min
     assert fast[99] == 99 and fast[4] == 4  # singletons intact
     assert all(fast[n] == 10 for n in range(10, 20))
+
+
+def test_connected_components_null_and_phantom_edges(spark):
+    """Edges with null endpoints or endpoints OUTSIDE the node set must
+    be ignored by BOTH paths (the distributed joins drop them
+    implicitly; the fast path must semi-join them away, not negative-
+    index its parent array or phantom-bridge excluded nodes)."""
+    from atsc_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, None), (None, 5), (1, 2), (1, 3), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    # node 1 is EXCLUDED from the node set: edges (1,2),(1,3) must not
+    # bridge 2 and 3 through it
+    ndf = spark.createDataFrame([(n,) for n in (2, 3, 5, 6)], "doc_id long")
+
+    fast = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs, ndf).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, ndf, driver_max_edges=0).collect()
+    }
+    assert fast == dist == {2: 2, 3: 3, 5: 5, 6: 5}
+    # long dtype survives the pandas round-trip (no null-induced float)
+    schema = dict(connected_components(pairs, ndf).dtypes)
+    assert schema["cluster_id"] == "bigint"
