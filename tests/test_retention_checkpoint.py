@@ -639,6 +639,19 @@ def test_compact_tier_recovers_under_lease(spark, series, tmp_path):
             assert len(fs.listStatus(tdir.getPath())) == 0
 
 
+def test_read_series_span_filters_reach_tier_scan(spark, series, tier1_store):
+    """A time-bounded tier read's span predicate must reach the frames
+    parquet scan as PushedFilters on the MATERIALIZED span columns
+    (round-5 FRAME_SCHEMA) — the row-group-statistics pruning layer,
+    sitting between day-partition pruning and the exact decode trim."""
+    lo = series.agg(F.min("bucket_ts")).collect()[0][0]
+    t0 = int(lo.timestamp())
+    pruned = tier1_store.read_series(t0, t0 + 3600)
+    plan = _plan_of(pruned)
+    span_lines = [l for l in plan.splitlines() if "PushedFilters" in l and "span_" in l]
+    assert span_lines, "span filters did not reach the tier scan"
+
+
 def test_read_series_key_pruning(spark, series, tier1_store):
     """conv_ids/metrics filters hit the COMPRESSED frame rows (a filter
     after mapInPandas cannot push through the decoder): the pruned read
