@@ -295,3 +295,49 @@ def test_streaming_ingestion_feeds_incremental_rollups(spark, tmp_path):
     ingested = store.read_series()
     for g in GRAINS:
         _assert_rollup_equal(cagg.read(g), _recompute(ingested, g))
+
+
+def test_state_compaction_crash_mid_delete_leaves_correct_log(spark, cagg_series, tmp_path):
+    """compact_state's only crash window is between moving the snapshot
+    in and deleting the old files: readers then see old + snapshot,
+    latest-per-updated_at dedup keeps the answer right, and the next
+    compaction sweeps the duplicates."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "caggcrash"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(cagg_series)
+    cagg = ContinuousRollups(spark, store)
+    cagg.refresh()
+    truth = cagg._recorded_fingerprints()
+
+    # simulate the crash: run a compaction whose old-file deletes never
+    # happen by snapshotting INTO the live dir ourselves
+    fs, root = store._fs(f"{cagg.base}/_state")
+    import pandas as pd
+
+    snap = spark.createDataFrame(
+        pd.DataFrame(
+            {"day": list(truth), "fingerprint": [truth[d] for d in truth]}
+        )
+    ).withColumn("updated_at", F.current_timestamp())
+    staged = spark._jvm.org.apache.hadoop.fs.Path(f"{cagg.base}/_state_new")
+    snap.coalesce(1).write.mode("overwrite").parquet(str(staged))
+    for st in fs.listStatus(staged):
+        if st.isFile() and st.getPath().getName().endswith(".parquet"):
+            fs.rename(
+                st.getPath(),
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{cagg.base}/_state/compacted-crash-{st.getPath().getName()}"
+                ),
+            )
+    fs.delete(staged, True)
+
+    # duplicates present: the log still reads correctly, nothing dirty
+    assert cagg._recorded_fingerprints() == truth
+    assert cagg.refresh() == []
+    # next compaction (forced) sweeps everything into one snapshot
+    assert cagg.compact_state(max_files=1) is True
+    assert cagg._recorded_fingerprints() == truth
+    assert cagg.refresh() == []
