@@ -134,10 +134,14 @@ class ContinuousRollups:
     # ----------------------------------------------------------- read
 
     def _read_days(self, days: list[date]) -> DataFrame:
-        """Union read of the given day partitions across tiers, with
-        the source ``day`` carried through (rows aggregate under the
-        partition they came from, so a refresh rewrites exactly those
-        partitions).
+        """Union read of the given day partitions, each day served by
+        its MOST FAITHFUL holder tier only (ascending tier order, same
+        rule as ``retention_pass``): a crash mid-tier-move can leave a
+        day duplicated across two tiers, and unioning every tier's copy
+        would silently DOUBLE-COUNT the day's rows in the rollups.  The
+        ``day`` column is carried through so rows aggregate under the
+        partition they came from and a refresh rewrites exactly those
+        partitions.
 
         Decoded tiers lose the partition column through the decoder, so
         ``day`` is re-derived as ``to_date(bucket_ts)`` — the same
@@ -146,36 +150,50 @@ class ContinuousRollups:
         the re-derivation reproduces the partition value exactly; a
         deployment that overrides the session TZ between write and
         refresh would mis-bucket boundary rows and must not do that."""
-        isos = [d.isoformat() for d in days]
+        holder: dict[date, str] = {}
+        for tier in _SOURCE_TIERS:  # ascending fidelity order
+            for day in self.store.tier_days(tier):
+                holder.setdefault(day, tier)
+        by_tier: dict[str, list[str]] = {}
+        for d in days:
+            if d in holder:
+                by_tier.setdefault(holder[d], []).append(d.isoformat())
+
         t0_s = min(int(_midnight_s(d)) for d in days)
         t1_s = max(int(_midnight_s(d)) for d in days) + 86_400 + 2 * 86_400
         parts = []
-        raw = self.store._read_or_empty("raw")
-        if raw is not None:
-            parts.append(
-                raw.filter(F.col("day").isin(isos)).select(
-                    "day", "conv_id", "metric", "bucket_ts", "value"
+        if "raw" in by_tier:
+            raw = self.store._read_or_empty("raw")
+            if raw is not None:
+                parts.append(
+                    raw.filter(F.col("day").isin(by_tier["raw"])).select(
+                        "day", "conv_id", "metric", "bucket_ts", "value"
+                    )
                 )
-            )
-        t0 = self.store._read_or_empty("tier0")
-        if t0 is not None:
-            sel = t0.filter(F.col("day").isin(isos))
-            parts.append(
-                decode_lossless(sel.drop("day")).withColumn(
-                    "day", F.to_date("bucket_ts")
-                ).filter(F.col("day").isin(isos)).select(
-                    "day", "conv_id", "metric", "bucket_ts", "value"
+        if "tier0" in by_tier:
+            t0 = self.store._read_or_empty("tier0")
+            if t0 is not None:
+                sel = t0.filter(F.col("day").isin(by_tier["tier0"]))
+                parts.append(
+                    decode_lossless(sel.drop("day")).withColumn(
+                        "day", F.to_date("bucket_ts")
+                    ).filter(F.col("day").isin(by_tier["tier0"])).select(
+                        "day", "conv_id", "metric", "bucket_ts", "value"
+                    )
                 )
-            )
         for tier in ("tier1", "tier2"):
+            if tier not in by_tier:
+                continue
             t = self.store._read_or_empty(tier)
             if t is not None:
                 sel = prune_frames_to_range(
-                    t.filter(F.col("day").isin(isos)), t0_s - 2 * 86_400, t1_s
+                    t.filter(F.col("day").isin(by_tier[tier])),
+                    t0_s - 2 * 86_400,
+                    t1_s,
                 )
                 parts.append(
                     decode_frames(sel).withColumn("day", F.to_date("bucket_ts"))
-                    .filter(F.col("day").isin(isos))
+                    .filter(F.col("day").isin(by_tier[tier]))
                     .select("day", "conv_id", "metric", "bucket_ts", "value")
                 )
         if not parts:

@@ -341,3 +341,25 @@ def test_state_compaction_crash_mid_delete_leaves_correct_log(spark, cagg_series
     assert cagg.compact_state(max_files=1) is True
     assert cagg._recorded_fingerprints() == truth
     assert cagg.refresh() == []
+
+
+def test_crash_leftover_duplicate_day_not_double_counted(spark, cagg_series, tmp_path):
+    """A crash mid-tier-move can leave a day's data in TWO tiers; the
+    refresh must aggregate it from the most faithful copy only, never
+    union both (which would double every count)."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "caggdup"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(cagg_series)
+    # simulate the crash leftover: the same rows ALSO live in tier0
+    from atsc_spark.lossless import fit_lossless
+
+    blocks = fit_lossless(cagg_series)
+    blocks.write.mode("overwrite").partitionBy("day").parquet(store.path("tier0"))
+
+    cagg = ContinuousRollups(spark, store)
+    cagg.refresh()
+    # counts equal the single-copy recompute, not double
+    _assert_rollup_equal(cagg.read("1m"), rollup(cagg_series, GRAINS["1m"]))
