@@ -50,12 +50,15 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 #: Module-level default for the strict/fake-features switch.  Entry
-#: points take a per-call ``strict=`` parameter that OVERRIDES this;
-#: prefer the parameter — besides being explicit at the call site, a
-#: closure-captured flag is serialized with the UDF and therefore
-#: reaches executors on a real cluster, whereas a driver-side
-#: ``multimodal.STRICT = True`` assignment does NOT propagate to
-#: executor processes (they re-import the module and see the default).
+#: points take a per-call ``strict=`` parameter that OVERRIDES this.
+#: Every entry point resolves the effective flag ON THE DRIVER at call
+#: time (``_strict`` below) and captures the RESULT in the UDF closure,
+#: so both the parameter and a driver-side ``multimodal.STRICT = True``
+#: assignment reach executor processes on a real cluster (verified
+#: under separate executor JVMs by tools/local_cluster_check.py).  What
+#: would NOT work is reading ``STRICT`` lazily inside a UDF body —
+#: executors re-import the module and would see the default — which is
+#: why the resolve-then-capture pattern is load-bearing, not style.
 STRICT = False  # set True to surface NotImplementedError instead of fakes
 
 
