@@ -363,3 +363,63 @@ def test_crash_leftover_duplicate_day_not_double_counted(spark, cagg_series, tmp
     cagg.refresh()
     # counts equal the single-copy recompute, not double
     _assert_rollup_equal(cagg.read("1m"), rollup(cagg_series, GRAINS["1m"]))
+
+
+def test_crash_between_grain_commits_self_heals(spark, cagg_series, tmp_path):
+    """A refresh that dies AFTER committing the 1m grain but BEFORE the
+    1h/1d grains leaves the grains mutually stale — but (a) every grain
+    individually still serves complete days (partition commits are
+    atomic), (b) the day's fingerprint is only recorded at the END of
+    the refresh, so the day stays dirty, and (c) the next refresh
+    recomputes it and converges all three grains."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "caggcrash"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    days = sorted(
+        r.day
+        for r in cagg_series.select(F.to_date("bucket_ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    first_days = cagg_series.filter(F.to_date("bucket_ts") < F.lit(days[-1]))
+    last_day = cagg_series.filter(F.to_date("bucket_ts") == F.lit(days[-1]))
+    store.write_raw(first_days)
+    cagg = ContinuousRollups(spark, store)
+    cagg.refresh()
+
+    # append a day, then crash the refresh at the first 1h commit
+    store.write_raw(last_day)
+    real_commit = ContinuousRollups._commit_rollup_partition
+
+    def crashing_commit(self, staging, grain, day):
+        if grain == "1h":
+            raise RuntimeError("injected crash before 1h commit")
+        real_commit(self, staging, grain, day)
+
+    ContinuousRollups._commit_rollup_partition = crashing_commit
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            cagg.refresh()
+    finally:
+        ContinuousRollups._commit_rollup_partition = real_commit
+
+    # mid-crash state: 1m already has the new day, 1h/1d do not...
+    assert cagg.read("1m").filter(
+        F.to_date("bucket_ts") == F.lit(days[-1])
+    ).count() > 0
+    assert (
+        cagg.read("1h").filter(F.to_date("bucket_ts") == F.lit(days[-1])).count()
+        == 0
+    )
+    # ...but the stale grains still serve their old days completely
+    _assert_rollup_equal(cagg.read("1h"), _recompute(first_days, "1h"))
+    # fingerprint unrecorded -> the day is still dirty
+    assert days[-1] in cagg.dirty_days()
+
+    # the next (uncrashed) refresh converges every grain
+    assert cagg.refresh() == [days[-1].isoformat()]
+    for grain in GRAINS:
+        _assert_rollup_equal(cagg.read(grain), _recompute(cagg_series, grain))
+    assert cagg.refresh() == []
