@@ -160,11 +160,11 @@ def run_level(n_exec: int) -> dict:
         timeout=1800,
         env=env,
     )
-    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("CSB_RESULT ")]
     if not lines:
         sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
         raise RuntimeError(f"no result line from spark-submit at {master}")
-    return json.loads(lines[-1])
+    return json.loads(lines[-1][len("CSB_RESULT ") :])
 
 
 def main() -> None:
@@ -181,7 +181,7 @@ def main() -> None:
     args = p.parse_args()
 
     if args.single:
-        print(json.dumps(single(args.single)))
+        print("CSB_RESULT " + json.dumps(single(args.single)))
         return
 
     if not os.path.exists(os.path.join(REPO, "atsc_spark.zip")):
