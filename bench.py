@@ -35,6 +35,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _probe_child(_i: int) -> float:
+    # Mirrors a cold Spark Python-worker start: interpreter spawn (the
+    # pool uses the spawn method) + the heavy imports every worker pays
+    # + one small vectorized op.
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    return float(np.sort(np.arange(1000.0) % 7.0)[0])
+
+
+def host_probe() -> dict:
+    """Machine-speed canary, identical work every run and every round.
+
+    Two numbers: ``kernel_ms`` — best-of-3 single-thread numpy kernel
+    (rfft + argsort + elementwise on a pre-touched buffer; measures
+    core speed, immune to the VM's cold-fault path), and
+    ``spawn_pool_ms`` — wall to spawn an 8-process pool that imports
+    numpy+pandas (measures the fork/exec+import path, the component
+    this host's slow windows hit hardest).  A BENCH artifact that
+    carries its own probe lets a cross-round wall delta be attributed:
+    probe moved with the wall => host window; probe flat => the plan.
+    Run OUTSIDE the timed wall, before and after the queries.
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    x = np.ones(1 << 20)  # pre-touch: pages faulted in before timing
+    rng = np.random.default_rng(42)
+    y = rng.standard_normal(1 << 20)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        z = np.fft.rfft(y * x)
+        o = np.argsort(np.abs(z))
+        s = float(np.abs(z)[o[-8:]].sum())
+        best = min(best, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    with mp.get_context("spawn").Pool(8) as pool:
+        pool.map(_probe_child, range(8))
+    spawn_ms = (time.perf_counter() - t0) * 1000.0
+    return {
+        "kernel_ms": round(best * 1000.0, 1),
+        "spawn_pool_ms": round(spawn_ms, 1),
+        "checksum": round(s, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -62,6 +110,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict = {}
+    extras["host_probe_pre"] = host_probe()
 
     def timed(name: str, fn) -> None:
         best = float("inf")
@@ -371,6 +420,7 @@ def main() -> None:
     extras["wall_excl_dedup_clusters"] = round(
         total - timings.get("q_dedup_clusters", 0.0), 3
     )
+    extras["host_probe_post"] = host_probe()
     events.unpersist()
     print(
         json.dumps(
