@@ -111,6 +111,18 @@ def single(n_exec: int) -> dict:
         if i >= WARM_PASSES:  # first passes warm each executor JVM's JIT
             wall = min(wall, dt)
 
+    # host-window canary (same kernel as bench.host_probe): lets a
+    # sub-target efficiency reading be attributed to a slow host window
+    # from the artifact itself, matching the BENCH.md §3 bisect method
+    import numpy as np
+
+    y = np.random.default_rng(42).standard_normal(1 << 20)
+    kernel_ms = float("inf")
+    for _ in range(3):
+        k0 = time.perf_counter()
+        np.argsort(np.abs(np.fft.rfft(y)))
+        kernel_ms = min(kernel_ms, (time.perf_counter() - k0) * 1000.0)
+
     execs = [
         e
         for e in json.load(
@@ -132,6 +144,7 @@ def single(n_exec: int) -> dict:
         "turns_per_sec": round(n_turns / wall, 1),
         "all_pass_walls": walls,
         "warm_passes": WARM_PASSES,
+        "host_kernel_ms": round(kernel_ms, 1),
     }
     spark.stop()
     return out

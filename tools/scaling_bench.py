@@ -63,12 +63,24 @@ def single(cores: int) -> dict:
         decoded_rows = decode_frames(frames).count()
         wall = min(wall, time.time() - t0)
 
+    # host-window canary (same kernel as bench.host_probe): a slow
+    # reading with a slow canary is the box, not the plan
+    import numpy as np
+
+    y = np.random.default_rng(42).standard_normal(1 << 20)
+    kernel_ms = float("inf")
+    for _ in range(3):
+        k0 = time.perf_counter()
+        np.argsort(np.abs(np.fft.rfft(y)))
+        kernel_ms = min(kernel_ms, (time.perf_counter() - k0) * 1000.0)
+
     out = {
         "cores": cores,
         "turns": n_turns,
         "decoded_rows": decoded_rows,
         "wall_sec": round(wall, 2),
         "turns_per_sec": round(n_turns / wall, 1),
+        "host_kernel_ms": round(kernel_ms, 1),
     }
     spark.stop()
     return out
