@@ -427,7 +427,14 @@ FROM seg WHERE dt IS NOT NULL GROUP BY event_type
 
 def q_moving_avg(spark, sf_dir):
     """Trailing 10-minute moving aggregate per event_type (RANGE
-    frame over event time)."""
+    frame over event time).  The mean is exact fixed-point (1e-4
+    units, integer sum + integer division — same rationale as
+    q_seasonal_profile): a float window avg() is summed in
+    engine-specific order, and at sf0.1 one row in ~100k landed on a
+    .xxxx5 round() boundary where the engines' last ulp diverged
+    (57.4887 vs 57.4888).  Integer arithmetic is order-independent, so
+    no float crosses the engine boundary.  Values are non-negative, so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree."""
     e = _t(spark, sf_dir, "events")
     sec = F.col("ts").cast("timestamp").cast("long")
     w = (
@@ -435,17 +442,24 @@ def q_moving_avg(spark, sf_dir):
         .orderBy(sec)
         .rangeBetween(-600, 0)
     )
+    v_e4 = F.expr("cast(round(value * 10000) as bigint)")
     return e.select(
         "event_type",
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("mavg_10m"),
+        F.sum(v_e4).over(w).alias("_sum_e4"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
+    ).select(
+        "event_type",
+        "event_id",
+        F.expr("_sum_e4 div n_in_window").alias("mavg_10m_e4"),
+        "n_in_window",
     )
 
 
 SQL_MOVING_AVG = """
 SELECT event_type, event_id,
-       round(avg(value) OVER w, 4) AS mavg_10m,
+       sum(CAST(round(value * 10000) AS BIGINT)) OVER w
+         // count(*) OVER w AS mavg_10m_e4,
        count(*) OVER w AS n_in_window
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
