@@ -16,14 +16,22 @@ import numpy as np
 # ----------------------------------------------------------------- CSV
 
 
-def read_samples_csv(path: str, headered: bool = True, zero_timestamps: bool = True):
+def read_samples_csv(
+    path: str,
+    headered: bool = True,
+    zero_timestamps: bool = True,
+    time_field: str = "time",
+    value_field: str = "value",
+):
     """CSV -> (timestamps int64, values float64).
 
     Mirrors `atsc/src/csv.rs:36-98`: the headered reader locates the
-    `time`/`value` columns by name; the main binary's quirk of parsing
-    timestamps and then storing 0 (`csv.rs:59-69`) is reproduced when
-    ``zero_timestamps`` (the csv-compressor path keeps them,
-    `csv-compressor/src/csv.rs:43-47`).
+    time/value columns by name (overridable, the CLI's ``--fields``
+    knob — the timestamp column must EXIST but its values go unused
+    when ``zero_timestamps``, exactly the reference's quirk of
+    checking the position then storing 0, `csv.rs:44-69`); the
+    csv-compressor path keeps timestamps
+    (`csv-compressor/src/csv.rs:43-47`).
     """
     ts: list[int] = []
     values: list[float] = []
@@ -31,8 +39,8 @@ def read_samples_csv(path: str, headered: bool = True, zero_timestamps: bool = T
         lines = [line.strip() for line in fh if line.strip()]
     if headered:
         header = [c.strip() for c in lines[0].split(",")]
-        t_idx = header.index("time")
-        v_idx = header.index("value")
+        t_idx = header.index(time_field)
+        v_idx = header.index(value_field)
         rows = lines[1:]
     else:
         t_idx, v_idx = None, 0
@@ -136,6 +144,97 @@ def vsri_timestamps(segments: list[VsriSegment]) -> np.ndarray:
         for s in segments
     ]
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+
+def day_elapsed_seconds(timestamp_sec: int) -> int:
+    """Seconds since UTC midnight (`vsri/src/lib.rs:50-58`) — the
+    csv-compressor folds every epoch timestamp into its in-day seconds
+    before indexing (`csv-compressor/src/metric.rs:57-60`)."""
+    return int(timestamp_sec) % 86_400
+
+
+def vsri_from_timestamps(ts) -> list[VsriSegment]:
+    """Greedy per-point VSRI construction — the reference's
+    ``Vsri::update_for_point`` applied in sequence
+    (`vsri/src/lib.rs:249-284`, helpers lib.rs:370-419): a lone first
+    point opens a zero-rate "fake" segment; the second point fixes the
+    segment's sample_rate (`generate_segment`); later points extend
+    the segment while their computed index lands exactly one past the
+    end (`fits_segment`), else open a new fake segment.
+
+    Reference quirks preserved verbatim:
+
+    - a point in the past (``y < max_ts``) raises, like
+      ``Err(UpdateIndexForPointError)`` (lib.rs:252-259) — note a
+      DUPLICATE of max_ts passes the check and opens a fake segment;
+    - ``fits_segment`` computes the index with truncating integer
+      division (the reference's own "TODO: Can return float"), so an
+      off-grid point that truncates onto the next index is absorbed as
+      if it sat on the grid (e.g. 31 extends a 10-second-rate segment
+      ending at 20 and is thereafter read back as 30).
+
+    The distributed counterpart is ``frames.time_segment_arrays``
+    (run-based split, same exact-reconstruction property for on-grid
+    data, but a different — also valid — segmentation: the greedy
+    builder pairs the two points after a rate change into one segment
+    where the run-split leaves singletons).
+    """
+    segments: list[VsriSegment] = []
+    max_ts = None
+    for y in (int(t) for t in ts):
+        if max_ts is not None and y < max_ts:
+            raise ValueError(
+                f"VSRI: trying to index a point in the past: {max_ts}, provided: {y}"
+            )
+        max_ts = y
+        if not segments:
+            segments.append(VsriSegment(0, 0, y, 1))
+            continue
+        last = segments[-1]
+        if last.sample_rate == 0:  # fake segment -> fix its rate now
+            segments[-1] = VsriSegment(y - last.first_ts, last.first_idx, last.first_ts, 2)
+        else:
+            b = last.first_ts - last.sample_rate * last.first_idx
+            # truncating integer division, exactly like Rust's `/` on
+            # positive i32 (the false-fit quirk documented above)
+            x_value = (y - b) // last.sample_rate
+            if x_value == last.first_idx + last.n_samples:
+                segments[-1] = VsriSegment(
+                    last.sample_rate, last.first_idx, last.first_ts, last.n_samples + 1
+                )
+            else:
+                segments.append(
+                    VsriSegment(0, last.first_idx + last.n_samples, y, 1)
+                )
+    return segments
+
+
+def vsri_get_time(segments: list[VsriSegment], x: int) -> int | None:
+    """Sample index -> timestamp, mirroring ``Vsri::get_time``
+    (`vsri/src/lib.rs:330-349`) INCLUDING its bug: the interior branch
+    computes ``y0 + m * x`` with the GLOBAL index (the ``- m * x0``
+    term of the line equation is missing, unlike ``get_sample`` which
+    goes through ``calculate_b``), so for any segment with
+    ``first_idx > 0`` the interior timestamps come back shifted.  The
+    ``x == 0`` / ``x == sample_count`` shortcuts mask it at the ends,
+    and single-segment indexes (the csv-compressor's common case —
+    one day of one-rate samples) are unaffected.  Mirrored verbatim
+    because the csv-compressor's decompress-to-CSV path is defined by
+    it (`csv-compressor/src/metric.rs:87-97`)."""
+    if not segments:
+        return None if x != 0 else 0
+    if x == 0:
+        return segments[0].first_ts
+    last = segments[-1]
+    sample_count = last.first_idx + last.n_samples
+    if x > sample_count:
+        return None
+    if x == sample_count:
+        return last.first_ts + last.sample_rate * (last.n_samples - 1)
+    for s in segments:
+        if s.first_idx <= x < s.first_idx + s.n_samples:
+            return s.first_ts + s.sample_rate * x  # sic: global x (see above)
+    return None
 
 
 def write_wbro(path: str, values: np.ndarray, chunk: int = 2048) -> None:
