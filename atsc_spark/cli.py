@@ -224,3 +224,51 @@ def main_csv_compressor(argv: list[str] | None = None) -> int:
         )
         out_base.with_suffix(".bro").write_bytes(blob)
     return 0
+
+
+# --------------------------------------------------------- `wav2wbro`
+
+
+def main_wav2wbro(argv: list[str] | None = None) -> int:
+    """The `wav2wbro` migration binary (`tools/src/bin/wav2wbro.rs`):
+    legacy 4xu16-limb WAV -> WavBrro, NaNs dropped.  Quirks mirrored:
+    the output name is the input with its trailing "wav" replaced by
+    "wbro" (`format!("{}wbro", strip_suffix("wav"))`, rs:101 — an
+    input not ending in "wav" is a hard error, like the unwrap), and
+    ``--validate``'s success message really does say the data doesn't
+    match (rs:103-106: the assert panics on an actual mismatch — any
+    NaN in the input trips it, since the comparison is against the
+    UNfiltered samples — and the println only runs after it passes)."""
+    from .io import read_legacy_wav, wav2wbro
+
+    p = argparse.ArgumentParser(prog="wav2wbro", description="WAV to WAVBRRO converter")
+    p.add_argument("input", type=Path)
+    p.add_argument("--validate", action="store_true")
+    args = p.parse_args(argv)
+
+    name = str(args.input)
+    # reference order: the RIFF/WAVE magic assert (is_wav_file, rs:90)
+    # fires before the name-suffix unwrap (rs:101)
+    with open(name, "rb") as fh:
+        header = fh.read(12)
+    if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+        print(f"error: {name!r} is not a RIFF/WAVE file", file=sys.stderr)
+        return 1
+    if not name.endswith("wav"):
+        print(f"error: input {name!r} does not end in 'wav'", file=sys.stderr)
+        return 1
+    out = name[: -len("wav")] + "wbro"
+    wav2wbro(name, out)
+    if args.validate:
+        wav_data = read_legacy_wav(name)
+        back = read_wbro(out)
+        if len(wav_data) != len(back) or not (
+            (wav_data == back) | (np.isnan(wav_data) & np.isnan(back))
+        ).all():
+            raise AssertionError("wav2wbro validate: data mismatch")
+        # sic — the reference prints this on SUCCESS (rs:103-106)
+        print(
+            "File generated but data doesn't match! "
+            "Tip: Check if NaN or Infinite is in the data."
+        )
+    return 0

@@ -305,7 +305,10 @@ def read_legacy_wav(path: str) -> np.ndarray:
 
 def wav2wbro(wav_path: str, wbro_path: str) -> int:
     """Legacy migration tool (`tools/src/bin/wav2wbro.rs:86-108`):
-    read the 4xu16-encoded WAV, write WavBrro.  Returns sample count."""
+    read the 4xu16-encoded WAV, write WavBrro.  NaN samples are
+    dropped on the way in (`wav2wbro.rs:94-98`; infinities are KEPT —
+    the reference only filters `is_nan`).  Returns written count."""
     values = read_legacy_wav(wav_path)
+    values = values[~np.isnan(values)]
     write_wbro(wbro_path, values)
     return len(values)

@@ -204,6 +204,76 @@ def test_csv_compressor_day_crossing_raises(tmp_path):
         main_csv_compressor([str(src)])
 
 
+# --------------------------------------------------------- `wav2wbro`
+
+
+def _write_legacy_wav(path, values):
+    import struct
+
+    limbs = np.asarray(values, dtype=np.float64).view(np.uint64)
+    ints = np.empty((len(limbs), 4), dtype="<i2")
+    for c in range(4):
+        ints[:, c] = (
+            ((limbs >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            .astype(np.uint16)
+            .view(np.int16)
+        )
+    data = ints.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 4, 8000, 8000 * 8, 8, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    path.write_bytes(blob)
+
+
+def test_wav2wbro_cli_drops_nans_and_names_output(tmp_path):
+    from atsc_spark.cli import main_wav2wbro
+
+    src = tmp_path / "legacy.wav"
+    _write_legacy_wav(src, [1.0, float("nan"), 2.5, float("inf")])
+    assert main_wav2wbro([str(src)]) == 0
+    back = read_wbro(str(tmp_path / "legacy.wbro"))
+    # NaN dropped (wav2wbro.rs:94-98); infinity KEPT
+    np.testing.assert_array_equal(back, [1.0, 2.5, np.inf])
+
+
+def test_wav2wbro_cli_validate(tmp_path, capsys):
+    from atsc_spark.cli import main_wav2wbro
+
+    clean = tmp_path / "clean.wav"
+    _write_legacy_wav(clean, [1.0, 2.0, 3.0])
+    assert main_wav2wbro([str(clean), "--validate"]) == 0
+    # sic: the reference prints its "doesn't match" line on SUCCESS
+    assert "doesn't match" in capsys.readouterr().out
+
+    dirty = tmp_path / "dirty.wav"
+    _write_legacy_wav(dirty, [1.0, float("nan"), 3.0])
+    with pytest.raises(AssertionError):
+        # any NaN input trips validate: the comparison is against the
+        # UNfiltered samples, exactly like the reference's assert_eq
+        main_wav2wbro([str(dirty), "--validate"])
+
+
+def test_wav2wbro_cli_rejects_non_wav_name(tmp_path):
+    from atsc_spark.cli import main_wav2wbro
+
+    p = tmp_path / "legacy.bin"
+    _write_legacy_wav(p, [1.0])
+    assert main_wav2wbro([str(p)]) == 1
+
+
+def test_wav2wbro_cli_rejects_bad_magic(tmp_path):
+    # reference asserts is_wav_file (RIFF/WAVE header) before anything
+    # else (wav2wbro.rs:90) — even a ".wav"-named non-WAV is refused
+    from atsc_spark.cli import main_wav2wbro
+
+    p = tmp_path / "fake.wav"
+    p.write_bytes(b"NOTAWAVFILE!" * 4)
+    assert main_wav2wbro([str(p)]) == 1
+
+
 def test_write_then_read_samples_csv_roundtrip(tmp_path):
     p = tmp_path / "s.csv"
     write_samples_csv(str(p), np.array([1, 5]), np.array([1.01, 1.22]))
