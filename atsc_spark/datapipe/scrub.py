@@ -1,0 +1,156 @@
+"""PII detection and redaction over a documents table.
+
+The standard pre-training scrub pass: find and mask emails, credit
+cards (Luhn-validated), SSNs, phone numbers and IPv4 addresses before
+a corpus is shipped to training.  Everything is built-in
+`pyspark.sql.functions` — regexp_count / regexp_extract_all /
+regexp_replace plus higher-order array functions — so the whole pass
+is JVM-side whole-stage codegen: no Python in the hot path, no
+shuffle (pure per-row projection), scales linearly with corpus bytes.
+
+Patterns are POSIX-safe (no lookaround, no backrefs) so the same
+strings run unchanged under Java regex (Spark) and RE2 (DuckDB), the
+same portability rule as `textstats.BPE_ISH_PATTERN`.
+
+Card handling is two-stage because a regex cannot validate a Luhn
+checksum: candidates come from `regexp_extract_all`, are checksum
+-filtered with a JVM `filter()` lambda (:func:`luhn_valid_expr`),
+and only the validated matches are replaced — via literal
+`replace()` inside an `aggregate()` fold, not a second regex pass,
+so an invalid 16-digit number (e.g. a hash or an order id) is left
+alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Order matters for redaction: earlier kinds are replaced first, and
+# the card pass runs before ssn/phone so a long digit run is consumed
+# as one card, not as a phone number plus leftovers.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+CARD_PATTERN = "[0-9](?:[ -]?[0-9]){12,18}"
+SSN_PATTERN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PHONE_PATTERN = "(\\+?[0-9]{1,2}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}"
+IPV4_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+#: (kind, pattern, placeholder) in redaction order.
+PII_KINDS: list[tuple[str, str, str]] = [
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("card", CARD_PATTERN, "<CARD>"),
+    ("ssn", SSN_PATTERN, "<SSN>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+    ("ipv4", IPV4_PATTERN, "<IP>"),
+]
+
+
+def luhn_valid_expr(digits: Column | str) -> Column:
+    """Luhn checksum over a digits-only string column, entirely in JVM
+    higher-order functions: reverse, split to chars, double every
+    second digit from the right (9-subtract on overflow), sum mod 10.
+
+    `split(s, '')` under Java regex yields one element per character
+    (a trailing empty element appears on some JVM versions), so empty
+    strings are filtered before the cast — which also keeps the
+    expression safe under Spark 4's default ANSI mode (no cast('')).
+    An empty/non-digit input returns false, never throws.
+    """
+    col = F.col(digits) if isinstance(digits, str) else digits
+    chars = F.filter(F.split(F.reverse(col), ""), lambda c: c != "")
+    digit_vals = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+                c.cast("int") * 2
+            ),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(digit_vals, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(col) >= 12) & (total % 10 == 0)
+
+
+def _card_matches(text_col: Column) -> Column:
+    """Luhn-validated card candidate strings found in `text_col`."""
+    candidates = F.regexp_extract_all(text_col, F.lit(CARD_PATTERN), 0)
+    return F.filter(
+        candidates,
+        lambda m: luhn_valid_expr(F.regexp_replace(m, "[^0-9]", "")),
+    )
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts, one scan, one codegen'd projection:
+    (doc_id, n_email, n_card, n_ssn, n_phone, n_ipv4, has_pii).
+
+    n_card counts only Luhn-valid candidates — the same set
+    :func:`pii_redact` would mask.
+    """
+    text = F.col(text_col)
+    cols = []
+    for kind, pattern, _ in PII_KINDS:
+        if kind == "card":
+            c = F.size(_card_matches(text)).cast("long")
+        else:
+            c = F.regexp_count(text, F.lit(pattern)).cast("long")
+        cols.append(c.alias(f"n_{kind}"))
+    out = docs.select("doc_id", *cols)
+    total = sum((F.col(f"n_{k}") for k, _, _ in PII_KINDS), F.lit(0))
+    return out.withColumn("has_pii", total > 0)
+
+
+def pii_findings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Long-form matches: (doc_id, kind, match) — one row per hit.
+    Card rows are Luhn-validated.  Useful for audit sampling; counts
+    come cheaper from :func:`pii_counts`."""
+    text = F.col(text_col)
+    parts = []
+    for kind, pattern, _ in PII_KINDS:
+        matches = (
+            _card_matches(text)
+            if kind == "card"
+            else F.regexp_extract_all(text, F.lit(pattern), 0)
+        )
+        parts.append(
+            docs.select(
+                "doc_id",
+                F.lit(kind).alias("kind"),
+                F.explode(matches).alias("match"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII hit with its typed placeholder; all other
+    columns pass through, `text_col` is rewritten in place and
+    `n_redactions` counts the masked hits.
+
+    Kind order is `PII_KINDS` order: emails first, then Luhn-valid
+    cards (literal `replace()` of each validated candidate inside an
+    `aggregate()` fold), then ssn/phone/ipv4 regexp passes over the
+    already-masked text — so an SSN inside an email address is masked
+    once, as the email.
+    """
+    text = F.col(text_col)
+    n_hits = F.lit(0).cast("long")
+    for kind, pattern, placeholder in PII_KINDS:
+        if kind == "card":
+            matches = _card_matches(text)
+            n_hits = n_hits + F.size(matches)
+            text = F.aggregate(
+                matches,
+                text.cast("string"),
+                lambda acc, m: F.replace(acc, m, F.lit(placeholder)),
+            )
+        else:
+            n_hits = n_hits + F.regexp_count(text, F.lit(pattern))
+            text = F.regexp_replace(text, pattern, placeholder)
+    passthrough = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *passthrough, text.alias(text_col), n_hits.alias("n_redactions")
+    )
