@@ -69,6 +69,46 @@ def token_windows(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size training chunks with overlap:
+    (doc_id, chunk_idx, text, n_tokens) — the standard pre-tokenizer
+    packing step of an LLM data pipeline.
+
+    Chunk i starts at token i*(chunk_tokens-overlap); the final chunk
+    may be shorter (it is never empty), and every token appears in at
+    least one chunk.  A document with <= chunk_tokens tokens yields
+    exactly one chunk.  Pure JVM sequence/slice/concat_ws projection:
+    zero shuffle, output rows ~ n_tokens/(chunk_tokens-overlap).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # last start: the largest multiple of stride <= n-overlap-1 (so a
+    # chunk never lies wholly inside the previous one's overlap)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    piece = F.slice("_toks", F.col("start") + 1, chunk_tokens)
+    return (
+        docs.select("doc_id", toks.alias("_toks"), F.posexplode(starts))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "start")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", piece).alias(text_col),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     window_tokens: int = 32,

@@ -416,6 +416,39 @@ def main() -> None:
         "stages": stages[:3],
     }
 
+    # span-level dedup + PII scrub over the documents table (untimed
+    # extras): detection volume and the full mask/redact wall at sf —
+    # trended round-over-round like lsh_scale
+    from atsc_spark.datapipe import scrub as _scrub
+    from atsc_spark.datapipe import spans as _spans
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    dsp = _spans.duplicate_spans(docs_tbl, window_tokens=16, stride=8)
+    n_span_occ = dsp.count()
+    t1 = time.time()
+    masked = _spans.mask_duplicate_spans(docs_tbl, window_tokens=16, stride=8)
+    row = masked.agg(
+        F.count("*").alias("n"), F.sum("n_masked_tokens").alias("cut")
+    ).collect()[0]
+    t2 = time.time()
+    red = _scrub.pii_redact(docs_tbl).agg(
+        F.count("*").alias("n"), F.sum("n_redactions").alias("r")
+    ).collect()[0]
+    t3 = time.time()
+    extras["span_dedup"] = {
+        "n_docs": int(row.n),
+        "dup_span_occurrences": int(n_span_occ),
+        "masked_tokens": int(row.cut or 0),
+        "detect_sec": round(t1 - t0, 3),
+        "mask_sec": round(t2 - t1, 3),
+    }
+    extras["pii_scrub"] = {
+        "n_docs": int(red.n),
+        "n_redactions": int(red.r or 0),
+        "redact_sec": round(t3 - t2, 3),
+    }
+
     total = round(sum(timings.values()), 3)
     extras["wall_excl_dedup_clusters"] = round(
         total - timings.get("q_dedup_clusters", 0.0), 3

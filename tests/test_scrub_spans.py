@@ -210,6 +210,40 @@ def test_duplicate_spans_python_oracle(spark):
     assert got == expected_hits
 
 
+def test_chunk_documents(spark):
+    toks = [f"t{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "a b c"), (2, "solo")], ["doc_id", "text"]
+    )
+    out = spans.chunk_documents(df, chunk_tokens=10, overlap=3).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0,7,14,21 -> sizes 10,10,10,4
+    c0 = by_doc[0]
+    assert [r["n_tokens"] for r in c0] == [10, 10, 10, 4]
+    assert c0[0]["text"].split(" ") == toks[0:10]
+    assert c0[1]["text"].split(" ") == toks[7:17]
+    assert c0[3]["text"].split(" ") == toks[21:25]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c0[0]["text"].split(" ")[-3:] == c0[1]["text"].split(" ")[:3]
+    # every token appears in at least one chunk
+    covered = {t for r in c0 for t in r["text"].split(" ")}
+    assert covered == set(toks)
+    # short docs: exactly one chunk, intact
+    assert [(r["chunk_idx"], r["text"]) for r in by_doc[1]] == [(0, "a b c")]
+    assert [(r["chunk_idx"], r["text"]) for r in by_doc[2]] == [(0, "solo")]
+
+    with pytest.raises(ValueError):
+        spans.chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    df = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    plan = _plan_of(spans.chunk_documents(df, chunk_tokens=4, overlap=1))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_mask_token_conservation_real_corpus(spark):
     """On the driver's documents table: every token is either kept or
     counted in n_masked_tokens — nothing duplicated, nothing lost."""
