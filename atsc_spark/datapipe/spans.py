@@ -147,6 +147,56 @@ def duplicate_spans(
     )
 
 
+def contaminated_doc_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    ngram: int = 13,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training documents sharing at least one `ngram`-token span with
+    the eval set: (doc_id, n_hits) — benchmark decontamination in the
+    GPT-3 style (13-gram overlap; Brown et al. 2020, Appendix C).
+
+    Doc-side n-grams are stride-1 windows (every n-gram, not a
+    sample); eval-side n-grams are hashed and made distinct, then —
+    eval sets being tiny next to a training corpus — broadcast, so
+    the corpus side is a map-side hash semi-join with NO shuffle of
+    the big table.  Set `broadcast_eval=False` for a pathologically
+    large eval set to fall back to a shuffle join.
+
+    A doc shorter than `ngram` tokens cannot contain an n-gram and is
+    never flagged.
+    """
+    doc_grams = token_windows(docs, ngram, 1, text_col)
+    eval_grams = token_windows(
+        eval_docs.select(F.monotonically_increasing_id().alias("doc_id"), text_col),
+        ngram,
+        1,
+        text_col,
+    ).select("win_hash").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        doc_grams.join(eval_grams, "win_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    ngram: int = 13,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop every training document flagged by
+    :func:`contaminated_doc_ids`; schema passes through unchanged."""
+    hits = contaminated_doc_ids(docs, eval_docs, ngram, text_col, broadcast_eval)
+    return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+
 def mask_duplicate_spans(
     docs: DataFrame,
     window_tokens: int = 32,

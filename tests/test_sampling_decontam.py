@@ -1,0 +1,148 @@
+"""Deterministic sampling/mixing (datapipe/sampling.py) and eval-set
+decontamination (datapipe/spans.py)."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from atsc_spark.datapipe import sampling, spans
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(10)),
+         ["web", "books", "code"][i % 3])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+# ------------------------------------------------------- sampling
+
+
+def test_sample_fraction_stable_under_repartition(corpus):
+    a = {r[0] for r in sampling.sample_fraction(corpus, 0.4, seed=7).select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in sampling.sample_fraction(corpus.repartition(13), 0.4, seed=7)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b  # the property DataFrame.sample does NOT have
+    assert 0.25 < len(a) / 300 < 0.55
+    # different seed = different (overlapping but not equal) sample
+    c = {r[0] for r in sampling.sample_fraction(corpus, 0.4, seed=8).select("doc_id").collect()}
+    assert c != a
+
+
+def test_sample_fraction_bounds(corpus):
+    assert sampling.sample_fraction(corpus, 0.0).count() == 0
+    assert sampling.sample_fraction(corpus, 1.0).count() == 300
+    with pytest.raises(ValueError):
+        sampling.sample_fraction(corpus, 1.5)
+
+
+def test_stratified_sample(corpus):
+    out = sampling.stratified_sample(
+        corpus, {"web": 1.0, "books": 0.3}, seed=3
+    )
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["web"] == 100  # keep all
+    assert 15 <= by_src.get("books", 0) <= 55  # ~30 of 100
+    assert "code" not in by_src  # default_fraction 0
+
+    # adding a stratum later never changes existing strata's rows
+    out2 = sampling.stratified_sample(
+        corpus, {"web": 1.0, "books": 0.3, "code": 0.5}, seed=3
+    )
+    books = lambda df: {r[0] for r in df.where("source='books'").select("doc_id").collect()}
+    assert books(out) == books(out2)
+
+
+def test_mix_corpus_epochs(corpus):
+    out = sampling.mix_corpus(corpus, {"web": 2.0, "books": 0.4, "code": 2.5}, seed=1)
+    n = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert n["web"] == 200  # exactly 2 epochs
+    assert 20 <= n["books"] <= 60  # ~40
+    assert 200 <= n["code"] <= 300  # 2 + ~0.5 epochs
+    # epoch column: every web doc appears with epochs {0, 1}
+    eps = out.where("source='web'").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("epoch")).alias("e")
+    )
+    assert all(r["e"] == [0, 1] for r in eps.collect())
+    # deterministic: rerun identical
+    again = sampling.mix_corpus(corpus, {"web": 2.0, "books": 0.4, "code": 2.5}, seed=1)
+    key = lambda df: sorted((r["doc_id"], r["epoch"]) for r in df.collect())
+    assert key(out) == key(again)
+
+
+def test_mix_and_sample_zero_shuffle(corpus):
+    for df in (
+        sampling.sample_fraction(corpus, 0.5),
+        sampling.stratified_sample(corpus, {"web": 0.5}),
+        sampling.mix_corpus(corpus, {"web": 2.5}),
+    ):
+        plan = _plan_of(df)
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_train_order_deterministic_across_parallelism(corpus):
+    a = [r["doc_id"] for r in sampling.train_order(corpus, seed=5).collect()]
+    b = [r["doc_id"] for r in sampling.train_order(corpus.repartition(17), seed=5).collect()]
+    assert a == b and a != sorted(a)
+    assert sorted(a) == list(range(300))
+
+
+# -------------------------------------------------- decontamination
+
+
+@pytest.fixture(scope="module")
+def train_eval(spark):
+    leak = " ".join(f"q{i}" for i in range(13))  # a 13-gram from the eval set
+    train = spark.createDataFrame(
+        [
+            (0, "clean " + " ".join(f"a{i}" for i in range(20))),
+            (1, f"prefix text {leak} suffix text here"),
+            (2, " ".join(f"b{i}" for i in range(30))),
+            (3, "too short to hold any thirteen gram"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(f"question: {leak} answer: 42",), ("unrelated eval prompt entirely",)],
+        ["text"],
+    )
+    return train, evals
+
+
+def test_contaminated_doc_ids(train_eval):
+    train, evals = train_eval
+    hits = {r["doc_id"]: r["n_hits"] for r in spans.contaminated_doc_ids(train, evals).collect()}
+    assert set(hits) == {1} and hits[1] >= 1
+
+
+def test_decontaminate(train_eval):
+    train, evals = train_eval
+    kept = {r["doc_id"] for r in spans.decontaminate(train, evals).collect()}
+    assert kept == {0, 2, 3}
+    # schema passes through
+    assert spans.decontaminate(train, evals).columns == train.columns
+
+
+def test_decontaminate_broadcasts_eval(train_eval):
+    train, evals = train_eval
+    plan = _plan_of(spans.decontaminate(train, evals))
+    assert "BroadcastHashJoin" in plan
+    # corpus side is never shuffled for the semi-join: the only
+    # Exchange allowed is the contaminated-ids aggregation (tiny side)
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
