@@ -1,2 +1,4 @@
-"""Training-data pipeline operators: dedup, similarity search, text
-analysis, multimodal column plumbing."""
+"""Training-data pipeline operators: dedup (document- and span-level),
+similarity search, text analysis, PII scrub, eval-set decontamination,
+deterministic sampling/mixing, chunking/packing, multimodal column
+plumbing."""

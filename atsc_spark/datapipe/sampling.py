@@ -98,6 +98,149 @@ def mix_corpus(
     )
 
 
+def _global_token_offsets(
+    docs: DataFrame,
+    n_tokens: Column,
+    unit_key: Column,
+    tiebreak_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Each doc's exclusive prefix-sum of token counts in the global
+    order (unit_key, tiebreak), WITHOUT the single-task global-window
+    trap (`Window.orderBy` with no partitionBy funnels every row
+    through one partition — fine at test scale, a cliff at 100 TB).
+
+    Scalable two-phase prefix sum: bucket = floor(unit_key *
+    n_buckets) — a DETERMINISTIC range partitioning of the uniform
+    hash space (no `repartitionByRange`, whose sampled boundaries
+    could differ between the totals job and the main job and corrupt
+    the offsets) — cumsum within each bucket via a partitioned
+    window, then add per-bucket base offsets: a driver-side cumsum
+    over n_buckets scalars joined back via broadcast.  Buckets are
+    hash-uniform, so load is balanced; raise `n_buckets` so one
+    bucket's rows fit an executor.
+    """
+    from pyspark.sql import Window
+
+    df = (
+        docs.withColumn("_u", unit_key)
+        .withColumn("_n", n_tokens)
+        .withColumn("_pid", F.floor(F.col("_u") * n_buckets).cast("int"))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_u", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn("_cum", F.sum("_n").over(w))
+    totals = {
+        r["_pid"]: r["t"]
+        for r in df.groupBy("_pid").agg(F.sum("_n").alias("t")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += totals[pid]
+    spark = docs.sparkSession
+    base_df = spark.createDataFrame(
+        [(int(p), int(b)) for p, b in base.items()] or [(0, 0)],
+        "_pid int, _base long",
+    )
+    return df.join(F.broadcast(base_df), "_pid").withColumn(
+        "_offset", F.col("_base") + F.col("_cum") - F.col("_n")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int = 2048,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    separator: str = "<|eod|>",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the whole corpus in
+    deterministic pseudo-random order (identity-hash key, like
+    :func:`train_order`), insert `separator` after each document, and
+    slice the stream into exact `seq_tokens`-token training
+    sequences: (seq_id, text, n_tokens, doc_ids).
+
+    Every sequence except the last has exactly `seq_tokens` tokens; a
+    document straddling a boundary is split across the adjacent
+    sequences (its id appears in both `doc_ids`).  Deterministic for
+    a given (corpus, seed, seq_tokens) regardless of parallelism.
+
+    Plan shape: one hash-bucketed window shuffle for the global order
+    (the two-phase prefix sum in :func:`_global_token_offsets` — no
+    single-task window), a bounded explode of each doc onto the
+    sequences it touches (ceil(n/seq_tokens)+1 rows max), and one
+    groupBy(seq_id).  No Python in the hot path.
+    """
+    if seq_tokens < 1:
+        raise ValueError("seq_tokens must be >= 1")
+    toks = F.concat(
+        F.split(F.col(text_col), " "), F.array(F.lit(separator))
+    )  # doc tokens + end-of-doc marker, counted like any token
+    offs = _global_token_offsets(
+        docs.select(key_col, text_col),
+        F.size(toks),
+        _unit_hash(F.col(key_col), seed),
+        tiebreak_col=key_col,
+    ).select(
+        F.col(key_col),
+        toks.alias("_toks"),
+        "_n",
+        "_offset",
+    )
+    first_seq = F.floor(F.col("_offset") / seq_tokens).cast("long")
+    last_seq = F.floor((F.col("_offset") + F.col("_n") - 1) / seq_tokens).cast(
+        "long"
+    )
+    pieces = offs.select(
+        key_col,
+        "_toks",
+        "_n",
+        "_offset",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    # the token range of this doc that lands in this sequence
+    piece_start = F.greatest(F.col("seq_id") * seq_tokens, F.col("_offset"))
+    piece_end = F.least(
+        (F.col("seq_id") + 1) * seq_tokens, F.col("_offset") + F.col("_n")
+    )
+    pieces = pieces.select(
+        "seq_id",
+        F.col(key_col),
+        piece_start.alias("_ps"),
+        F.slice(
+            "_toks",
+            (piece_start - F.col("_offset") + 1).cast("int"),
+            (piece_end - piece_start).cast("int"),
+        ).alias("_piece"),
+    )
+    assembled = (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_ps"), F.col("_piece"), F.col(key_col)))
+            ).alias("_parts")
+        )
+        .select(
+            "seq_id",
+            F.concat_ws(
+                " ", F.flatten(F.transform("_parts", lambda p: p["_piece"]))
+            ).alias(text_col),
+            F.aggregate(
+                "_parts", F.lit(0), lambda acc, p: acc + F.size(p["_piece"])
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.transform("_parts", lambda p: p[key_col]).alias("doc_ids"),
+        )
+    )
+    return assembled
+
+
 def train_order(
     docs: DataFrame,
     key_cols: list[str] | None = None,

@@ -103,6 +103,79 @@ def test_train_order_deterministic_across_parallelism(corpus):
     assert sorted(a) == list(range(300))
 
 
+# ------------------------------------------------ sequence packing
+
+
+def test_pack_sequences_exact(spark):
+    """Full GPT-style packing semantics against a Python reference:
+    concat in hash order with separators, slice into exact windows."""
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(3 + (i * 7) % 11))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    SEQ, SEED, SEP = 16, 3, "<|eod|>"
+
+    out = {
+        r["seq_id"]: r
+        for r in sampling.pack_sequences(df, seq_tokens=SEQ, seed=SEED, separator=SEP).collect()
+    }
+
+    # python reference, ordered by the same unit-hash the op uses
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            (
+                (F.xxhash64("doc_id", F.lit(SEED)).cast("double") / 2.0**64) + 0.5
+            ).alias("h"),
+        ).collect()
+    }
+    stream, stream_docs = [], []
+    for did, text in sorted(rows, key=lambda r: (hashes[r[0]], r[0])):
+        ts = text.split(" ") + [SEP]
+        stream.extend(ts)
+        stream_docs.extend([did] * len(ts))
+    for k in range(0, len(stream), SEQ):
+        want = stream[k : k + SEQ]
+        got = out[k // SEQ]
+        assert got["text"].split(" ") == want, k // SEQ
+        assert got["n_tokens"] == len(want)
+        want_docs = list(dict.fromkeys(stream_docs[k : k + SEQ]))
+        assert list(got["doc_ids"]) == want_docs
+    assert len(out) == (len(stream) + SEQ - 1) // SEQ
+    # every sequence but the last is exactly full
+    assert all(out[s]["n_tokens"] == SEQ for s in range(len(out) - 1))
+
+
+def test_pack_sequences_parallelism_invariant(spark):
+    rows = [(i, " ".join(f"x{i}_{j}" for j in range(5))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(
+        (r["seq_id"], r["text"])
+        for r in sampling.pack_sequences(df, seq_tokens=32, seed=1).collect()
+    )
+    b = sorted(
+        (r["seq_id"], r["text"])
+        for r in sampling.pack_sequences(
+            df.repartition(11), seq_tokens=32, seed=1
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pack_sequences_doc_longer_than_seq(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{j}" for j in range(50)))], ["doc_id", "text"]
+    )
+    out = sorted(
+        sampling.pack_sequences(df, seq_tokens=16).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    # 51 tokens (incl separator) -> seqs of 16,16,16,3; doc in all
+    assert [r["n_tokens"] for r in out] == [16, 16, 16, 3]
+    assert all(list(r["doc_ids"]) == [0] for r in out)
+    rejoined = " ".join(r["text"] for r in out)
+    assert rejoined == " ".join(f"t{j}" for j in range(50)) + " <|eod|>"
+
+
 # -------------------------------------------------- decontamination
 
 
