@@ -168,7 +168,11 @@ def pack_sequences(
     Every sequence except the last has exactly `seq_tokens` tokens; a
     document straddling a boundary is split across the adjacent
     sequences (its id appears in both `doc_ids`).  Deterministic for
-    a given (corpus, seed, seq_tokens) regardless of parallelism.
+    a given (corpus, seed, seq_tokens) regardless of parallelism —
+    PROVIDED `key_col` is unique: the global order ties break on the
+    key, so rows sharing a key (e.g. epochs out of
+    :func:`mix_corpus`) have no defined mutual order — fold the epoch
+    into the key first (`concat_ws('#', 'doc_id', 'epoch')`).
 
     Plan shape: one hash-bucketed window shuffle for the global order
     (the two-phase prefix sum in :func:`_global_token_offsets` — no
