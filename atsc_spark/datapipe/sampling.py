@@ -22,8 +22,14 @@ _HASH_SPAN = 2.0**64
 
 def _unit_hash(key: Column, seed: int) -> Column:
     """Deterministic uniform [0, 1) draw from a row key: the row's
-    xxhash64 (salted with `seed`) rescaled from signed-64 range."""
-    return (F.xxhash64(key, F.lit(seed)).cast("double") / _HASH_SPAN) + 0.5
+    xxhash64 (salted with `seed`) rescaled from signed-64 range.
+
+    Clamped below 1.0: hash values within ~1024 of 2^63 round UP to
+    2^63 when cast to double (double spacing there is 2048), which
+    would yield exactly 1.0 — breaking `fraction=1.0` keep-all
+    semantics and the floor(u*n)<n bucket invariant."""
+    u = (F.xxhash64(key, F.lit(seed)).cast("double") / _HASH_SPAN) + 0.5
+    return F.least(u, F.lit(1.0 - 2.0**-53))
 
 
 def sample_fraction(
@@ -52,7 +58,7 @@ def stratified_sample(
     per-row decision is the same identity hash as
     :func:`sample_fraction`, so adding a stratum later never changes
     which rows of the existing strata are kept."""
-    for s, f in fractions.items():
+    for s, f in list(fractions.items()) + [("default_fraction", default_fraction)]:
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {s!r} must be in [0, 1]")
     frac = F.lit(float(default_fraction))
@@ -80,9 +86,16 @@ def mix_corpus(
     draw is salted with `seed+1` so it is independent of any
     :func:`sample_fraction` draw on the same seed.
     """
-    for s, w in weights.items():
-        if w < 0:
+    for s, wt in list(weights.items()) + [("default_weight", default_weight)]:
+        if wt < 0:
             raise ValueError(f"weight for {s!r} must be >= 0")
+    clash = {"_n", "epoch"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"mix_corpus reserves column(s) {sorted(clash)}; rename them "
+            "first (for re-mixing, fold the previous epoch into the key: "
+            "concat_ws('#', key, 'epoch'))"
+        )
     w = F.lit(float(default_weight))
     for s, wt in weights.items():
         w = F.when(F.col(strata_col) == s, float(wt)).otherwise(w)
@@ -120,22 +133,31 @@ def _global_token_offsets(
     hash-uniform, so load is balanced; raise `n_buckets` so one
     bucket's rows fit an executor.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    df = (
+    base = (
         docs.withColumn("_u", unit_key)
         .withColumn("_n", n_tokens)
         .withColumn("_pid", F.floor(F.col("_u") * n_buckets).cast("int"))
     )
+    # pin ONE realization of the source: the totals job and the main
+    # job must see identical rows, or base offsets disagree with the
+    # cumsum and sequences corrupt.  A nondeterministic upstream
+    # (sample(), a shuffle retry, files changing between jobs) makes
+    # the double execution unsafe without this; it also halves the
+    # tokenize cost.  At warehouse scale, materialize the corpus to a
+    # table first and this persist is a cheap no-op-sized cache.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     w = (
         Window.partitionBy("_pid")
         .orderBy("_u", tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    df = df.withColumn("_cum", F.sum("_n").over(w))
+    df = base.withColumn("_cum", F.sum("_n").over(w))
     totals = {
         r["_pid"]: r["t"]
-        for r in df.groupBy("_pid").agg(F.sum("_n").alias("t")).collect()
+        for r in base.groupBy("_pid").agg(F.sum("_n").alias("t")).collect()
     }
     base, acc = {}, 0
     for pid in sorted(totals):

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 # the card pass runs before ssn/phone so a long digit run is consumed
 # as one card, not as a phone number plus leftovers.
 EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+#: POSIX-safe core (portable to RE2); the Spark-side extraction adds
+#: Java lookaround digit-boundary guards so a 19-digit prefix of a
+#: longer identifier is never taken as a candidate.
 CARD_PATTERN = "[0-9](?:[ -]?[0-9]){12,18}"
+_CARD_GUARDED = f"(?<![0-9])(?:{CARD_PATTERN})(?![0-9])"
 SSN_PATTERN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 PHONE_PATTERN = "(\\+?[0-9]{1,2}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}"
 IPV4_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -52,28 +56,38 @@ def luhn_valid_expr(digits: Column | str) -> Column:
 
     `split(s, '')` under Java regex yields one element per character
     (a trailing empty element appears on some JVM versions), so empty
-    strings are filtered before the cast — which also keeps the
-    expression safe under Spark 4's default ANSI mode (no cast('')).
-    An empty/non-digit input returns false, never throws.
+    strings are filtered before the cast.  ANSI-safe: any non-digit
+    character (or empty input) returns false — never a
+    CAST_INVALID_INPUT throw — via `try_cast` plus an all-digits
+    guard, so the public expression is safe on raw matched strings
+    like '4111-1111-1111-1111' (strip separators first if you want
+    those to validate).
     """
     col = F.col(digits) if isinstance(digits, str) else digits
     chars = F.filter(F.split(F.reverse(col), ""), lambda c: c != "")
+    all_digits = ~F.exists(chars, lambda c: (c < "0") | (c > "9"))
+    d = lambda c: c.try_cast("int")
     digit_vals = F.transform(
         chars,
         lambda c, i: F.when(
             i % 2 == 1,
-            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
-                c.cast("int") * 2
-            ),
-        ).otherwise(c.cast("int")),
+            F.when(d(c) * 2 > 9, d(c) * 2 - 9).otherwise(d(c) * 2),
+        ).otherwise(d(c)),
     )
     total = F.aggregate(digit_vals, F.lit(0), lambda acc, x: acc + x)
-    return (F.length(col) >= 12) & (total % 10 == 0)
+    return F.coalesce(
+        (F.length(col) >= 12) & all_digits & (total % 10 == 0), F.lit(False)
+    )
 
 
 def _card_matches(text_col: Column) -> Column:
-    """Luhn-validated card candidate strings found in `text_col`."""
-    candidates = F.regexp_extract_all(text_col, F.lit(CARD_PATTERN), 0)
+    """Luhn-validated card candidate strings found in `text_col`.
+
+    Candidates are digit-boundary guarded (`_CARD_GUARDED`): a run of
+    more than 19 digits yields NO candidate rather than a 19-digit
+    prefix, so long identifiers/hashes can never be partially
+    masked."""
+    candidates = F.regexp_extract_all(text_col, F.lit(_CARD_GUARDED), 0)
     return F.filter(
         candidates,
         lambda m: luhn_valid_expr(F.regexp_replace(m, "[^0-9]", "")),
@@ -103,26 +117,34 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def pii_findings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Long-form matches: (doc_id, kind, match) — one row per hit.
     Card rows are Luhn-validated.  Useful for audit sampling; counts
-    come cheaper from :func:`pii_counts`."""
+    come cheaper from :func:`pii_counts`.
+
+    ONE scan: all kinds' matches are built as (kind, match) struct
+    arrays in a single projection, flattened, and exploded once — a
+    per-kind union would read and regex the text column five times.
+    """
     text = F.col(text_col)
-    parts = []
+
+    def _tag(kind: str):
+        # closure factory, NOT a default arg: a two-parameter lambda
+        # would make F.transform pass the array INDEX as the second
+        # argument, silently shadowing the default
+        return lambda m: F.struct(F.lit(kind).alias("kind"), m.alias("match"))
+
+    arrays = []
     for kind, pattern, _ in PII_KINDS:
         matches = (
             _card_matches(text)
             if kind == "card"
             else F.regexp_extract_all(text, F.lit(pattern), 0)
         )
-        parts.append(
-            docs.select(
-                "doc_id",
-                F.lit(kind).alias("kind"),
-                F.explode(matches).alias("match"),
-            )
+        arrays.append(F.transform(matches, _tag(kind)))
+    return (
+        docs.select(
+            "doc_id", F.explode(F.flatten(F.array(*arrays))).alias("_hit")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select("doc_id", "_hit.kind", "_hit.match")
+    )
 
 
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -142,10 +164,19 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         if kind == "card":
             matches = _card_matches(text)
             n_hits = n_hits + F.size(matches)
+            # replace each validated candidate with digit-boundary
+            # guards (a candidate string is [0-9 -] only, so it embeds
+            # into a regex verbatim) — a literal replace() would also
+            # rewrite the candidate wherever it appears as a substring
+            # of a longer digit run that is NOT itself a card
             text = F.aggregate(
                 matches,
                 text.cast("string"),
-                lambda acc, m: F.replace(acc, m, F.lit(placeholder)),
+                lambda acc, m: F.regexp_replace(
+                    acc,
+                    F.concat(F.lit("(?<![0-9])"), m, F.lit("(?![0-9])")),
+                    F.lit(placeholder),
+                ),
             )
         else:
             n_hits = n_hits + F.regexp_count(text, F.lit(pattern))

@@ -10,8 +10,12 @@ a single-machine algorithm; the Spark-native equivalent here is
 windowed span hashing:
 
 1. slide a `window_tokens`-token window with `stride` over each
-   document's whitespace tokens and hash each window (JVM
-   `xxhash64` over the joined slice — one projection, no Python);
+   document's SPACE-delimited tokens — the corpus convention shared
+   with `textstats.token_count`; normalize other whitespace upstream
+   (`regexp_replace(text, '\\s+', ' ')`, cf. `textstats.fingerprint`)
+   or newline-formatted text degenerates into few giant tokens —
+   and hash each window (JVM `xxhash64` over the joined slice — one
+   projection, no Python);
 2. one `groupBy(win_hash)` finds windows occurring >= `min_count`
    times corpus-wide (with the globally-first occurrence chosen by
    `min_by` in the same aggregate);

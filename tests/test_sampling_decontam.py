@@ -86,6 +86,19 @@ def test_mix_corpus_epochs(corpus):
     assert key(out) == key(again)
 
 
+def test_mix_corpus_guards(corpus):
+    # reserved-column collisions raise instead of silently duplicating
+    with pytest.raises(ValueError, match="epoch"):
+        sampling.mix_corpus(
+            sampling.mix_corpus(corpus, {"web": 2.0}), {"web": 2.0}
+        )
+    # defaults validated like dict values
+    with pytest.raises(ValueError, match="default_weight"):
+        sampling.mix_corpus(corpus, {}, default_weight=-1.0)
+    with pytest.raises(ValueError, match="default_fraction"):
+        sampling.stratified_sample(corpus, {}, default_fraction=1.5)
+
+
 def test_mix_and_sample_zero_shuffle(corpus):
     for df in (
         sampling.sample_fraction(corpus, 0.5),

@@ -105,6 +105,44 @@ def test_pii_redact(pii_docs):
     assert got[4] == ("two mails <EMAIL> <EMAIL> and ip <IP>", 3)
 
 
+def test_luhn_expr_ansi_safe_on_raw_strings(spark):
+    # non-digit input returns false, never CAST_INVALID_INPUT
+    df = spark.createDataFrame(
+        [("4111-1111-1111-1111",), ("abcd5678",), ("453201511283036x",)], ["d"]
+    )
+    got = [r[0] for r in df.select(scrub.luhn_valid_expr("d")).collect()]
+    assert got == [False, False, False]
+
+
+def test_card_digit_boundary_guards(spark):
+    # a >19-digit identifier yields NO candidate (not a 19-digit
+    # prefix), and a valid card embedded in a longer digit run is not
+    # matched — so redaction can never cut a chunk out of a hash/id
+    df = spark.createDataFrame(
+        [
+            (0, "txn 1234567890123456789012345 ok"),
+            (1, "id 94532015112830366 and card 4532015112830366"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_redactions"])
+           for r in scrub.pii_redact(df).collect()}
+    assert got[0] == ("txn 1234567890123456789012345 ok", 0)
+    # the 17-digit id contains the valid card as a substring, but only
+    # the boundary-guarded standalone occurrence is masked
+    assert got[1] == ("id 94532015112830366 and card <CARD>", 1)
+
+
+def test_pii_findings_single_scan(pii_docs):
+    import re
+
+    plan = _plan_of(scrub.pii_findings(pii_docs))
+    # one explode node (formatted explain prints each node in the tree
+    # AND a numbered detail header — count the headers)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "Union" not in plan and "Exchange" not in plan
+
+
 def test_pii_redact_passthrough_and_plan(pii_docs):
     out = scrub.pii_redact(pii_docs.withColumn("extra", pii_docs.doc_id * 2))
     assert set(out.columns) == {"doc_id", "extra", "text", "n_redactions"}
