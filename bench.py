@@ -443,6 +443,20 @@ def main() -> None:
         "detect_sec": round(t1 - t0, 3),
         "mask_sec": round(t2 - t1, 3),
     }
+    # growth evidence on the dup-heavy corpus (same fixture as
+    # lsh_scale): span detection is one shuffle + join-back with NO
+    # pair explosion, so wall and output must grow ~linearly in docs
+    # even though the boilerplate span repeats n_docs/50 times
+    span_scale = {}
+    for n_docs in (10_000, 100_000):
+        dh = documents_dupheavy(spark, n_docs)
+        t0 = time.time()
+        cnt = _spans.duplicate_spans(dh, window_tokens=16, stride=8).count()
+        span_scale[f"docs_{n_docs}"] = {
+            "occurrences": int(cnt),
+            "detect_sec": round(time.time() - t0, 3),
+        }
+    extras["span_dedup"]["scale"] = span_scale
     extras["pii_scrub"] = {
         "n_docs": int(red.n),
         "n_redactions": int(red.r or 0),
