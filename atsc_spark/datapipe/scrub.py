@@ -8,17 +8,22 @@ regexp_replace plus higher-order array functions — so the whole pass
 is JVM-side whole-stage codegen: no Python in the hot path, no
 shuffle (pure per-row projection), scales linearly with corpus bytes.
 
-Patterns are POSIX-safe (no lookaround, no backrefs) so the same
-strings run unchanged under Java regex (Spark) and RE2 (DuckDB), the
-same portability rule as `textstats.BPE_ISH_PATTERN`.
+The count patterns are POSIX-safe (no lookaround, no backrefs) so the
+same strings run unchanged under Java regex (Spark) and RE2 (DuckDB),
+the same portability rule as `textstats.BPE_ISH_PATTERN`.  The one
+exception is card extraction, which is Spark-side only anyway (Luhn
+is not a regex): it wraps the POSIX core in Java lookaround
+digit-boundary guards so a long identifier never donates a 19-digit
+prefix as a candidate.
 
 Card handling is two-stage because a regex cannot validate a Luhn
 checksum: candidates come from `regexp_extract_all`, are checksum
 -filtered with a JVM `filter()` lambda (:func:`luhn_valid_expr`),
-and only the validated matches are replaced — via literal
-`replace()` inside an `aggregate()` fold, not a second regex pass,
-so an invalid 16-digit number (e.g. a hash or an order id) is left
-alone.
+and only the validated matches are replaced — each as a
+boundary-guarded pattern inside an `aggregate()` fold — so an
+invalid 16-digit number (e.g. a hash or an order id) is left alone,
+and a valid card is never rewritten where it appears as a substring
+of a longer non-card digit run.
 """
 
 from __future__ import annotations
@@ -94,9 +99,13 @@ def _card_matches(text_col: Column) -> Column:
     )
 
 
-def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document PII hit counts, one scan, one codegen'd projection:
-    (doc_id, n_email, n_card, n_ssn, n_phone, n_ipv4, has_pii).
+    (id_col, n_email, n_card, n_ssn, n_phone, n_ipv4, has_pii).
+    Works on any table with an id and a text column (e.g. transcripts:
+    `pii_counts(turns, "turn_text", id_col="turn_id")`).
 
     n_card counts only Luhn-valid candidates — the same set
     :func:`pii_redact` would mask.
@@ -109,13 +118,15 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         else:
             c = F.regexp_count(text, F.lit(pattern)).cast("long")
         cols.append(c.alias(f"n_{kind}"))
-    out = docs.select("doc_id", *cols)
+    out = docs.select(id_col, *cols)
     total = sum((F.col(f"n_{k}") for k, _, _ in PII_KINDS), F.lit(0))
     return out.withColumn("has_pii", total > 0)
 
 
-def pii_findings(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Long-form matches: (doc_id, kind, match) — one row per hit.
+def pii_findings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Long-form matches: (id_col, kind, match) — one row per hit.
     Card rows are Luhn-validated.  Useful for audit sampling; counts
     come cheaper from :func:`pii_counts`.
 
@@ -141,9 +152,9 @@ def pii_findings(docs: DataFrame, text_col: str = "text") -> DataFrame:
         arrays.append(F.transform(matches, _tag(kind)))
     return (
         docs.select(
-            "doc_id", F.explode(F.flatten(F.array(*arrays))).alias("_hit")
+            id_col, F.explode(F.flatten(F.array(*arrays))).alias("_hit")
         )
-        .select("doc_id", "_hit.kind", "_hit.match")
+        .select(id_col, "_hit.kind", "_hit.match")
     )
 
 
