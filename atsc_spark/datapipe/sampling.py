@@ -117,6 +117,7 @@ def _global_token_offsets(
     unit_key: Column,
     tiebreak_col: str,
     n_buckets: int = 256,
+    max_bucket_rows: int | None = 50_000_000,
 ) -> DataFrame:
     """Each doc's exclusive prefix-sum of token counts in the global
     order (unit_key, tiebreak), WITHOUT the single-task global-window
@@ -132,6 +133,14 @@ def _global_token_offsets(
     over n_buckets scalars joined back via broadcast.  Buckets are
     hash-uniform, so load is balanced; raise `n_buckets` so one
     bucket's rows fit an executor.
+
+    `max_bucket_rows` is the loud-failure guard for that sizing: the
+    per-bucket cumsum is ONE window task, so a bucket bigger than an
+    executor's comfortable row budget silently serializes (and
+    eventually spills) at 100-TB scale.  The per-bucket counts come
+    free with the totals aggregate, so the guard costs nothing; it
+    raises with the offending bucket size and the `n_buckets` value to
+    retune.  Pass ``None`` to disable.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -155,10 +164,21 @@ def _global_token_offsets(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     df = base.withColumn("_cum", F.sum("_n").over(w))
-    totals = {
-        r["_pid"]: r["t"]
-        for r in base.groupBy("_pid").agg(F.sum("_n").alias("t")).collect()
-    }
+    stats = base.groupBy("_pid").agg(
+        F.sum("_n").alias("t"), F.count(F.lit(1)).alias("c")
+    ).collect()
+    if max_bucket_rows is not None:
+        fat = [(r["_pid"], r["c"]) for r in stats if r["c"] > max_bucket_rows]
+        if fat:
+            pid, rows = max(fat, key=lambda x: x[1])
+            raise ValueError(
+                f"prefix-sum bucket {pid} holds {rows} rows "
+                f"(> max_bucket_rows={max_bucket_rows}) with "
+                f"n_buckets={n_buckets}: one window task would process "
+                f"all of them — raise n_buckets (or max_bucket_rows if "
+                f"the executors can take it)"
+            )
+    totals = {r["_pid"]: r["t"] for r in stats}
     base, acc = {}, 0
     for pid in sorted(totals):
         base[pid] = acc
@@ -180,6 +200,9 @@ def pack_sequences(
     text_col: str = "text",
     seed: int = 0,
     separator: str = "<|eod|>",
+    unit_expr: Column | None = None,
+    n_buckets: int = 256,
+    max_bucket_rows: int | None = 50_000_000,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate the whole corpus in
     deterministic pseudo-random order (identity-hash key, like
@@ -196,6 +219,12 @@ def pack_sequences(
     :func:`mix_corpus`) have no defined mutual order — fold the epoch
     into the key first (`concat_ws('#', 'doc_id', 'epoch')`).
 
+    `unit_expr` overrides the ordering/bucketing key (must be a
+    deterministic [0, 1) expression over the row).  The default is
+    the xxhash64 identity hash; the graded-oracle entry passes an
+    md5-derived unit instead, because xxhash64 exists only in Spark
+    and the DuckDB oracle must replay the identical global order.
+
     Plan shape: one hash-bucketed window shuffle for the global order
     (the two-phase prefix sum in :func:`_global_token_offsets` — no
     single-task window), a bounded explode of each doc onto the
@@ -210,8 +239,10 @@ def pack_sequences(
     offs = _global_token_offsets(
         docs.select(key_col, text_col),
         F.size(toks),
-        _unit_hash(F.col(key_col), seed),
+        unit_expr if unit_expr is not None else _unit_hash(F.col(key_col), seed),
         tiebreak_col=key_col,
+        n_buckets=n_buckets,
+        max_bucket_rows=max_bucket_rows,
     ).select(
         F.col(key_col),
         toks.alias("_toks"),

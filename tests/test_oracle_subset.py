@@ -23,8 +23,10 @@ SUBSET = [
     "topk_per_group",
     "dedup_exact",
     "text_quality",
-    "embedding_norms",
     "grouping_sets",
+    "moving_avg",
+    "pii_counts",
+    "duplicate_spans",
 ]
 
 

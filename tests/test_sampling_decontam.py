@@ -174,6 +174,18 @@ def test_pack_sequences_parallelism_invariant(spark):
     assert a == b
 
 
+def test_pack_sequences_bucket_overflow_guard(spark):
+    """An undersized n_buckets must fail loudly, not silently funnel
+    the corpus through one window task (VERDICT r5 #4): with one bucket
+    and a sub-corpus row budget the guard names the bucket and knob."""
+    rows = [(i, f"a b c {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_buckets"):
+        sampling.pack_sequences(df, seq_tokens=8, n_buckets=1, max_bucket_rows=10)
+    # same corpus under the default budget still packs fine
+    assert sampling.pack_sequences(df, seq_tokens=8, n_buckets=1).count() > 0
+
+
 def test_pack_sequences_doc_longer_than_seq(spark):
     df = spark.createDataFrame(
         [(0, " ".join(f"t{j}" for j in range(50)))], ["doc_id", "text"]

