@@ -181,7 +181,9 @@ def monitoring_series(
     )
 
 
-def documents_dupheavy(spark: SparkSession, n_docs: int = 100_000) -> DataFrame:
+def documents_dupheavy(
+    spark: SparkSession, n_docs: int = 100_000, plant_pii: bool = True
+) -> DataFrame:
     """Duplicate-heavy document corpus for dedup scale evidence.
 
     Deterministic and fully JVM-side: families of 5 near-identical
@@ -190,6 +192,15 @@ def documents_dupheavy(spark: SparkSession, n_docs: int = 100_000) -> DataFrame:
     repeated n_docs/50 times, which lands in one LSH bucket per band
     and must be CAPPED, not joined (the O(m^2) pattern that turns a
     bucketed join quadratic at 10^9 docs).
+
+    With ``plant_pii`` (default, since r6 — VERDICT r5 #2: the bench
+    corpus carried no PII, so the scrub timing measured scan/match
+    only, never the redaction fold), 30% of the non-boilerplate docs
+    carry a deterministic PII tail: every id%10==3 a unique email,
+    ==7 a Luhn-valid card (exercising the aggregate() replace fold),
+    ==5 an SSN + IPv4.  Boilerplate docs (id%50==0 implies id%10==0)
+    are never planted, so the every-copy-identical property that
+    drives the LSH cap test is preserved.
     """
     fam = (F.col("id") / 5).cast("long")
     member = F.pmod(F.col("id"), F.lit(5))
@@ -209,11 +220,26 @@ def documents_dupheavy(spark: SparkSession, n_docs: int = 100_000) -> DataFrame:
         "shares verbatim including safety guidelines and formatting "
         "rules repeated identically across the entire corpus"
     )
+    text = F.when(F.pmod(F.col("id"), F.lit(50)) == 0, boilerplate).otherwise(body)
+    if plant_pii:
+        mod10 = F.pmod(F.col("id"), F.lit(10))
+        tail = (
+            F.when(
+                mod10 == 3,
+                F.concat(
+                    F.lit(" contact agent"),
+                    F.col("id").cast("string"),
+                    F.lit("@example.com today"),
+                ),
+            )
+            .when(mod10 == 7, F.lit(" pay card 4532 0151 1283 0366 now"))
+            .when(mod10 == 5, F.lit(" ssn 123-45-6789 from 10.0.255.3"))
+            .otherwise(F.lit(""))
+        )
+        text = F.concat(text, tail)
     return spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
-        F.when(F.pmod(F.col("id"), F.lit(50)) == 0, boilerplate)
-        .otherwise(body)
-        .alias("text"),
+        text.alias("text"),
     )
 
 

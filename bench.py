@@ -1,8 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines; the LAST is the driver contract line
+{"metric": "headline_queries_wall", "value": N, "unit": "sec",
+"queries": {...}, "sf": ...} kept compact (< 1900 chars) because the
+driver records only a 2000-char stdout TAIL — r5's single fat line
+outgrew it and the per-query dict was truncated out of the artifact.
+The first line carries the full extras (ratios, scale evidence, host
+probes).
 
 Measurement protocol (documented, per round-2 adjudication): each
 timed query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and the
@@ -416,9 +421,10 @@ def main() -> None:
         "stages": stages[:3],
     }
 
-    # span-level dedup + PII scrub over the documents table (untimed
-    # extras): detection volume and the full mask/redact wall at sf —
-    # trended round-over-round like lsh_scale
+    # span-level dedup over the documents table (untimed extras):
+    # detection volume and the mask wall at sf — trended
+    # round-over-round like lsh_scale
+    from atsc_spark.datapipe import sampling as _sampling
     from atsc_spark.datapipe import scrub as _scrub
     from atsc_spark.datapipe import spans as _spans
 
@@ -432,10 +438,6 @@ def main() -> None:
         F.count("*").alias("n"), F.sum("n_masked_tokens").alias("cut")
     ).collect()[0]
     t2 = time.time()
-    red = _scrub.pii_redact(docs_tbl).agg(
-        F.count("*").alias("n"), F.sum("n_redactions").alias("r")
-    ).collect()[0]
-    t3 = time.time()
     extras["span_dedup"] = {
         "n_docs": int(row.n),
         "dup_span_occurrences": int(n_span_occ),
@@ -457,25 +459,124 @@ def main() -> None:
             "detect_sec": round(time.time() - t0, 3),
         }
     extras["span_dedup"]["scale"] = span_scale
+    # PII scrub on the dup-heavy corpus, which since r6 carries planted
+    # PII on 30% of docs (VERDICT r5 #2: the sf documents table has
+    # none, so the old number timed scan/match only — this one covers
+    # the Luhn filter + aggregate() replacement fold at bench scale)
+    pii_corpus = documents_dupheavy(spark, 100_000)
+    t2 = time.time()
+    red = _scrub.pii_redact(pii_corpus).agg(
+        F.count("*").alias("n"), F.sum("n_redactions").alias("r")
+    ).collect()[0]
+    t3 = time.time()
+    assert int(red.r or 0) > 0, "dup-heavy corpus must yield redactions"
     extras["pii_scrub"] = {
         "n_docs": int(red.n),
         "n_redactions": int(red.r or 0),
         "redact_sec": round(t3 - t2, 3),
     }
 
+    # the mandate's end-to-end corpus-prep pipeline as ONE timed
+    # flagship (r5 VERDICT #6): span dedup -> decontaminate -> PII
+    # scrub -> GPT-style packing, chained on the dup-heavy corpus.
+    # Input synthesis cached outside the wall (uniform protocol).
+    # Budget: <= 12 s at sf0.1 (the operators are individually
+    # sub-2 s; the chain adds the mask join-back and the pack
+    # prefix-sum on top).
+    prep_n = max(2_000, int(1_000_000 * sf))
+    prep_corpus = documents_dupheavy(spark, prep_n).cache()
+    prep_corpus.count()
+    eval_texts = prep_corpus.orderBy("doc_id").limit(20).select("text")
+
+    def run_corpus_prep():
+        m = _spans.mask_duplicate_spans(prep_corpus, window_tokens=16, stride=8)
+        clean = _spans.decontaminate(m, eval_texts, ngram=13)
+        scrubbed = _scrub.pii_redact(clean)
+        packed = _sampling.pack_sequences(
+            scrubbed.select("doc_id", "text"), seq_tokens=2048
+        )
+        row = packed.agg(
+            F.count("*").alias("n_seqs"), F.sum("n_tokens").alias("toks")
+        ).collect()[0]
+        extras["corpus_prep"] = {
+            "n_docs_in": prep_n,
+            "n_sequences": int(row.n_seqs),
+            "packed_tokens": int(row.toks or 0),
+        }
+        assert int(row.n_seqs) > 0
+
+    timed("q_corpus_prep", run_corpus_prep)
+    prep_corpus.unpersist()
+
+    # incremental continuous-aggregate refresh vs full recompute
+    # (untimed extra, r5 VERDICT #8): build a tiered store from the
+    # events-derived series, refresh all days once, append ONE day,
+    # and time the dirty-day refresh against a forced all-days
+    # refresh — the asserted-in-tests win, finally measured.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from atsc_spark.cagg import ContinuousRollups
+    from atsc_spark.retention import TieredStore, TierPolicy
+
+    _cagg_dir = _tf.mkdtemp(prefix="bench_cagg_")
+    try:
+        _series = series_from_events(events, "1 minute")
+        _days = sorted(
+            r.day
+            for r in _series.select(F.to_date("bucket_ts").alias("day"))
+            .distinct()
+            .collect()
+        )
+        _store = TieredStore(
+            spark,
+            _cagg_dir,
+            TierPolicy(t0_days=10**6, t1_days=2 * 10**6, t2_days=3 * 10**6, t3_days=4 * 10**6),
+        )
+        _store.write_raw(
+            _series.filter(F.to_date("bucket_ts") < F.lit(_days[-1]))
+        )
+        _cagg = ContinuousRollups(spark, _store)
+        _cagg.refresh()  # initial materialization, untimed
+        _store.write_raw(
+            _series.filter(F.to_date("bucket_ts") == F.lit(_days[-1]))
+        )
+        t0 = time.time()
+        refreshed = _cagg.refresh()  # ONE dirty day
+        t_one = time.time() - t0
+        t0 = time.time()
+        _cagg.refresh(days=list(_days))
+        t_all = time.time() - t0
+        extras["cagg_refresh"] = {
+            "days_total": len(_days),
+            "dirty_days_refreshed": len(refreshed),
+            "one_day_refresh_sec": round(t_one, 3),
+            "all_days_refresh_sec": round(t_all, 3),
+            "speedup": round(t_all / max(t_one, 1e-9), 2),
+        }
+    finally:
+        _sh.rmtree(_cagg_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     extras["wall_excl_dedup_clusters"] = round(
         total - timings.get("q_dedup_clusters", 0.0), 3
     )
+    # r5-comparable wall: r5's wall had neither q_corpus_prep nor (in
+    # r4 and earlier) q_dedup_clusters
+    extras["wall_r5_comparable"] = round(
+        total - timings.get("q_corpus_prep", 0.0), 3
+    )
     extras["host_probe_post"] = host_probe()
     events.unpersist()
+    # TWO output lines (r5 VERDICT #2: the driver keeps a 2000-char
+    # TAIL of stdout, and r5's single line outgrew it, losing the
+    # per-query dict from the artifact).  Extras go on the first line;
+    # the LAST line is the compact driver contract — wall + per-query
+    # timings + the headline extras — sized well under 2000 chars.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "metric": "headline_queries_extras",
                 "sf": sf,
                 "rows_events": n_events,
                 "bench_repeats": repeats,
@@ -483,6 +584,33 @@ def main() -> None:
             }
         )
     )
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "bench_repeats": repeats,
+        "wall_excl_dedup_clusters": extras["wall_excl_dedup_clusters"],
+        "wall_r5_comparable": extras["wall_r5_comparable"],
+        "turns_per_sec": extras.get("turns_per_sec"),
+        "monitoring_ratio": extras.get("monitoring_ratio"),
+        "monitoring_max_error": extras.get("monitoring_max_error"),
+        "gorilla_decode_msamples_per_sec": extras.get(
+            "gorilla_decode_msamples_per_sec"
+        ),
+        "pii_n_redactions": extras.get("pii_scrub", {}).get("n_redactions"),
+        "host_kernel_ms": [
+            extras["host_probe_pre"]["kernel_ms"],
+            extras["host_probe_post"]["kernel_ms"],
+        ],
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep the contract line inside the tail
+        line = json.dumps(
+            {k: compact[k] for k in ("metric", "value", "unit", "queries", "sf")}
+        )
+    print(line)
     spark.stop()
 
 
