@@ -1647,14 +1647,17 @@ WITH planted AS (
     THEN 1 ELSE 0 END) AS BIGINT) AS n_card
   FROM luhn GROUP BY doc_id
 )
-SELECT p.doc_id,
-  CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.EMAIL_PATTERN}'), x -> x != '')) AS BIGINT) AS n_email,
-  COALESCE(c.n_card, 0) AS n_card,
-  CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.SSN_PATTERN}'), x -> x != '')) AS BIGINT) AS n_ssn,
-  CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.PHONE_PATTERN}'), x -> x != '')) AS BIGINT) AS n_phone,
-  CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.IPV4_PATTERN}'), x -> x != '')) AS BIGINT) AS n_ipv4,
-  (n_email + COALESCE(c.n_card, 0) + n_ssn + n_phone + n_ipv4) > 0 AS has_pii
-FROM planted p LEFT JOIN card_counts c USING (doc_id)
+SELECT doc_id, n_email, n_card, n_ssn, n_phone, n_ipv4,
+       (n_email + n_card + n_ssn + n_phone + n_ipv4) > 0 AS has_pii
+FROM (
+  SELECT p.doc_id,
+    CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.EMAIL_PATTERN}'), x -> x != '')) AS BIGINT) AS n_email,
+    COALESCE(c.n_card, 0) AS n_card,
+    CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.SSN_PATTERN}'), x -> x != '')) AS BIGINT) AS n_ssn,
+    CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.PHONE_PATTERN}'), x -> x != '')) AS BIGINT) AS n_phone,
+    CAST(length(list_filter(regexp_extract_all(p.text, '{scrub.IPV4_PATTERN}'), x -> x != '')) AS BIGINT) AS n_ipv4
+  FROM planted p LEFT JOIN card_counts c USING (doc_id)
+)
 """
 
 

@@ -506,6 +506,22 @@ def main() -> None:
         assert int(row.n_seqs) > 0
 
     timed("q_corpus_prep", run_corpus_prep)
+
+    # Gopher repetition filter (untimed extra; NOT in the timed chain —
+    # the 13-metric pass is interpreted-HOF-bound at ~1.4 ms core-time
+    # per doc, comparable to production Python taggers but an order
+    # heavier than the chain's other stages, and it would dominate the
+    # flagship's trend line with Spark-lambda overhead rather than
+    # plan behavior).  Zero-shuffle; scales linearly with corpus bytes.
+    from atsc_spark.datapipe import quality as _quality
+
+    t0 = time.time()
+    kept_q = _quality.gopher_repetition_filter(prep_corpus).count()
+    extras["gopher_filter"] = {
+        "n_docs": prep_n,
+        "kept": int(kept_q),
+        "sec": round(time.time() - t0, 3),
+    }
     prep_corpus.unpersist()
 
     # incremental continuous-aggregate refresh vs full recompute

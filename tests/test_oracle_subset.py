@@ -27,6 +27,7 @@ SUBSET = [
     "moving_avg",
     "pii_counts",
     "duplicate_spans",
+    "pack_sequences",
 ]
 
 

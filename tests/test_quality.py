@@ -1,0 +1,122 @@
+"""Gopher repetition filters (datapipe/quality.py) vs an independent
+Python reference, plus plan-shape and filter-semantics checks."""
+
+import collections
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from atsc_spark.datapipe import quality
+
+TOP_NS = (2, 3)
+DUP_NS = (5,)
+
+
+def ref_stats(text: str, top_ns=TOP_NS, dup_ns=DUP_NS) -> dict:
+    chars = max(len(text), 1)
+    out = {}
+    for unit, sep in (("line", "\n"), ("para", "\n\n")):
+        units = text.split(sep)
+        cnt = collections.Counter(units)
+        out[f"dup_{unit}_frac"] = 1.0 - len(cnt) / len(units)
+        out[f"dup_{unit}_char_frac"] = (
+            sum(len(u) * c for u, c in cnt.items() if c >= 2) / chars
+        )
+    toks = text.split(" ")
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            grams = (
+                [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                if len(toks) >= n
+                else []
+            )
+            cnt = collections.Counter(grams)
+            if kind == "top":
+                # count-1 is not repetition: gated to 0 (see quality.py)
+                if cnt and max(cnt.values()) >= 2:
+                    best_c = max(cnt.values())
+                    best = min(g for g, c in cnt.items() if c == best_c)
+                    out[f"top_{n}gram_char_frac"] = best_c * len(best) / chars
+                else:
+                    out[f"top_{n}gram_char_frac"] = 0.0
+            else:
+                out[f"dup_{n}gram_char_frac"] = (
+                    sum(len(g) * c for g, c in cnt.items() if c >= 2) / chars
+                )
+    return out
+
+
+WORDS = st.sampled_from(["a", "b", "cc", "dog", "x"])
+LINE = st.lists(WORDS, min_size=0, max_size=8).map(" ".join)
+TEXT = st.lists(LINE, min_size=1, max_size=6).map("\n".join)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_repetition_stats_python_oracle(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_stats(df, top_ns=TOP_NS, dup_ns=DUP_NS).collect()
+    }
+    for i, text in enumerate(texts):
+        want = ref_stats(text)
+        for k, v in want.items():
+            assert got[i][k] == pytest.approx(v, rel=1e-12, abs=1e-12), (
+                k,
+                text,
+                got[i][k],
+                v,
+            )
+
+
+def test_repetition_stats_fixed_cases(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam"),           # one token repeated
+        (1, "a fresh document with unique words only"),  # clean
+        (2, "x y\nx y\nx y\nz"),                         # duplicated lines
+        (3, ""),                                         # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_stats(df, top_ns=(2,), dup_ns=(5,)).collect()
+    }
+    # doc 0: top 2-gram "spam spam" occurs 5x, len 9 -> 45/29 chars (>1 ok)
+    assert got[0]["top_2gram_char_frac"] == pytest.approx(45 / 29)
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["dup_5gram_char_frac"] == 0.0
+    # doc 2: 4 lines, 2 distinct -> 1 - 2/4; chars of "x y"*3 = 9/13
+    assert got[2]["dup_line_frac"] == pytest.approx(1 - 2 / 4)
+    assert got[2]["dup_line_char_frac"] == pytest.approx(9 / 13)
+    assert got[3]["top_2gram_char_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0
+
+
+def test_gopher_filter_semantics(spark):
+    rows = [
+        (0, "buy now " * 40),  # dominated by one 2-gram -> removed
+        (1, "a genuinely varied sentence about compression engines and "
+            "their rollup cascades over transcript series data"),
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    kept = quality.gopher_repetition_filter(df)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert kept.columns == df.columns  # passthrough schema
+    audited = quality.gopher_repetition_filter(df, keep_metrics=True)
+    assert "top_2gram_char_frac" in audited.columns
+    with pytest.raises(ValueError, match="unknown repetition metric"):
+        quality.gopher_repetition_filter(df, thresholds={"nope": 0.5})
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        quality.repetition_stats(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
