@@ -193,3 +193,67 @@ def gopher_repetition_filter(
             cond = cond & (F.col(metric) <= F.lit(float(bound)))
     kept = stats.where(cond)
     return kept if keep_metrics else kept.select(*docs.columns)
+
+
+# ----------------------------------------------------- C4 line rules
+
+#: line must end in one of these to be kept (Raffel et al. 2020 §2.2)
+_C4_TERMINALS = ".!?\"'"
+
+
+def c4_clean_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): within
+    each document drop lines that do not end in terminal punctuation
+    (. ! ? " '), lines with fewer than ``min_words_per_line`` words,
+    lines containing the word "javascript", any line with a curly
+    brace (code), and the lorem-ipsum boilerplate marker; then drop
+    documents left with fewer than ``min_sentences`` surviving lines.
+
+    One zero-shuffle projection + filter: lines are filtered with a
+    JVM ``filter()`` lambda and rejoined with ``\\n``; the text column
+    is rewritten in place, ``n_lines_kept``/``n_lines_dropped`` are
+    appended, and all other columns pass through.  (C4's page-level
+    bad-words filter is intentionally NOT included: a blocklist is a
+    policy input, not an operator — pass a custom predicate to
+    :func:`filter_lines` for policy filtering.)
+    """
+    lines = F.split(F.col(text_col), "\\n")
+    word_ok = f"size(split(x, ' ')) >= {int(min_words_per_line)}"
+    terminal_ok = (
+        "substring(x, -1, 1) IN ("
+        + ", ".join("'" + c.replace("'", "''") + "'" for c in _C4_TERMINALS)
+        + ")"
+        if require_terminal_punct
+        else "true"
+    )
+    keep = (
+        f"x -> {word_ok} AND {terminal_ok}"
+        " AND NOT x LIKE '%{%' AND NOT x LIKE '%}%'"
+        " AND NOT lower(x) LIKE '%javascript%'"
+        " AND NOT lower(x) LIKE '%lorem ipsum%'"
+    )
+    kept = F.expr(f"filter(split(`{text_col}`, '\\\\n'), {keep})")
+    passthrough = [c for c in docs.columns if c != text_col]
+    out = docs.select(
+        *passthrough,
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+    )
+    return out.where(F.col("n_lines_kept") >= int(min_sentences))
+
+
+def filter_lines(docs: DataFrame, predicate_sql: str, text_col: str = "text") -> DataFrame:
+    """Generic line filter: keep lines where ``predicate_sql`` (a SQL
+    lambda body over ``x``) holds; rebuild the text.  The policy hook
+    :func:`c4_clean_lines` points at (e.g. a bad-words blocklist:
+    ``"NOT lower(x) rlike '...'"``)."""
+    kept = F.expr(f"filter(split(`{text_col}`, '\\\\n'), x -> {predicate_sql})")
+    passthrough = [c for c in docs.columns if c != text_col]
+    return docs.select(*passthrough, F.array_join(kept, "\n").alias(text_col))

@@ -120,3 +120,53 @@ def test_repetition_stats_zero_shuffle(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------ C4 line cleaning
+
+
+def test_c4_clean_lines(spark):
+    doc0 = "\n".join([
+        "This is a perfectly fine sentence with enough words.",   # kept
+        "too short.",                                             # < 5 words
+        "this line has plenty of words but no terminal punct",    # no terminal
+        "Please enable javascript to view this page today.",      # javascript
+        "if (x) { return y; } this brace line has many words.",   # braces
+        "Lorem ipsum dolor sit amet and more filler words here.", # lorem ipsum
+        'Another good line ends with a quote mark."',             # kept
+        "A third proper sentence keeps this document alive!",     # kept
+    ])
+    doc1 = "only one good sentence lives in this document here."  # 1 < 3
+    df = spark.createDataFrame(
+        [(0, doc0, "web"), (1, doc1, "web")], ["doc_id", "text", "source"]
+    )
+    out = quality.c4_clean_lines(df).collect()
+    assert [r["doc_id"] for r in out] == [0]
+    r = out[0]
+    kept = r["text"].split("\n")
+    assert len(kept) == 3 and r["n_lines_kept"] == 3 and r["n_lines_dropped"] == 5
+    assert kept[0].startswith("This is") and kept[1].endswith('"')
+    assert r["source"] == "web"  # passthrough
+
+
+def test_c4_clean_lines_knobs(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three four\nanother line with five words.")],
+        ["doc_id", "text"],
+    )
+    # relaxed: no terminal-punct requirement, 4-word lines ok, 1 line enough
+    out = quality.c4_clean_lines(
+        df, min_words_per_line=4, min_sentences=1, require_terminal_punct=False
+    ).collect()
+    assert out[0]["n_lines_kept"] == 2
+    # strict default: the 4-word unpunctuated line dies, doc falls under 3
+    assert quality.c4_clean_lines(df).count() == 0
+
+
+def test_filter_lines_policy_hook(spark):
+    df = spark.createDataFrame(
+        [(0, "keep this line\ndrop BADWORD line\nkeep another line")],
+        ["doc_id", "text"],
+    )
+    out = quality.filter_lines(df, "NOT lower(x) LIKE '%badword%'").collect()
+    assert out[0]["text"] == "keep this line\nkeep another line"
