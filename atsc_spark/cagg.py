@@ -70,16 +70,30 @@ class ContinuousRollups:
 
     # ----------------------------------------------------- fingerprints
 
-    def _day_fingerprint(self, day: date) -> str:
+    def _day_fingerprint(self, day: date, by_tier: dict | None = None) -> str:
         """sha256 over the sorted (tier, file, length) set of a day's
-        partitions across all source tiers — metadata-only."""
+        partitions across all source tiers — metadata-only.  Pass
+        ``by_tier`` (from :meth:`_bulk_listing`) to fingerprint from an
+        already-fetched listing instead of 4 per-day listStatus calls."""
         parts = []
         for tier in _SOURCE_TIERS:
-            for name, length in sorted(self.store._list_day_files(tier, day)):
+            files = (
+                by_tier[tier].get(day, set())
+                if by_tier is not None
+                else self.store._list_day_files(tier, day)
+            )
+            for name, length in sorted(files):
                 parts.append(f"{tier}/{name}:{length}")
         if not parts:
             return "EMPTY"
         return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+    def _bulk_listing(self) -> dict:
+        """{tier: {day: file set}} in 2 py4j calls per tier
+        (`TieredStore._list_tier_files`) — the per-day listing was 6 s
+        of a 12 s refresh at 30 days; at a year of days it would be
+        the whole wall."""
+        return {t: self.store._list_tier_files(t) for t in _SOURCE_TIERS}
 
     def _recorded_fingerprints(self) -> dict[str, str]:
         """Latest recorded fingerprint per day (append-only log; last
@@ -110,9 +124,10 @@ class ContinuousRollups:
         fingerprint pass would double the per-day listStatus calls,
         thousands of redundant object-store LISTs at year scale)."""
         recorded = self._recorded_fingerprints()
+        by_tier = self._bulk_listing()
         seen: set[date] = set()
         for tier in _SOURCE_TIERS:
-            seen.update(self.store.tier_days(tier))
+            seen.update(by_tier[tier])
         # recorded days absent from every source tier (fully aged away,
         # or dropped) must be re-checked too: their fingerprint flips to
         # EMPTY and the refresh marks them clean while KEEPING the
@@ -120,7 +135,7 @@ class ContinuousRollups:
         seen.update(date.fromisoformat(iso) for iso in recorded)
         out: dict[date, str] = {}
         for day in seen:
-            fp = self._day_fingerprint(day)
+            fp = self._day_fingerprint(day, by_tier)
             if recorded.get(day.isoformat()) != fp:
                 out[day] = fp
         return out
@@ -352,7 +367,8 @@ class ContinuousRollups:
             fps = self._dirty_map()  # one fingerprint pass, reused below
             days = sorted(fps)
         else:
-            fps = {d: self._day_fingerprint(d) for d in days}
+            by_tier = self._bulk_listing()
+            fps = {d: self._day_fingerprint(d, by_tier) for d in days}
         if not days:
             return []
         # fully-aged days (no points left in any source tier): keep the

@@ -531,6 +531,66 @@ class TieredStore:
             pass
         return out
 
+    _FILESTATUS_RE = None  # compiled lazily; class attr so it's shared
+
+    def _list_tier_files(self, tier: str) -> dict[date, set[tuple[str, int]]]:
+        """Every tier file in ONE glob: {day: {(name, length)}}.
+
+        Listing a year-scale tier day-by-day via :meth:`_list_day_files`
+        costs 3+ py4j round-trips PER FILE (getPath/getName/getLen) —
+        measured 6 s of a 12 s cagg refresh at 30 days x 4 tiers.  Here
+        the JVM stringifies the whole ``globStatus`` array in one call
+        (``Arrays.toString`` of FileStatus, whose ``toString`` carries
+        path/isDirectory/length) and Python parses it — 2 py4j calls
+        per TIER, independent of file count.  Falls back to the
+        per-day path if the FileStatus format ever stops parsing
+        (parse count mismatch), so a Hadoop format change degrades to
+        slow-but-correct."""
+        import re
+
+        if TieredStore._FILESTATUS_RE is None:
+            TieredStore._FILESTATUS_RE = re.compile(
+                r"path=([^;{}]+); isDirectory=(true|false); length=(\d+)"
+            )
+        fs, _ = self._fs(self.base)
+        jvm = self.spark._jvm
+        out: dict[date, set[tuple[str, int]]] = {}
+        try:
+            arr = fs.globStatus(self._jpath(f"{self.path(tier)}/day=*/*"))
+            if arr is None:
+                return out
+            n = len(arr)
+            if n == 0:
+                return out
+            blob = jvm.java.util.Arrays.toString(arr)
+        except Exception:
+            return self._list_tier_files_slow(tier)
+        matches = TieredStore._FILESTATUS_RE.findall(blob)
+        if len(matches) != n:  # format drift — degrade to the slow path
+            return self._list_tier_files_slow(tier)
+        for full_path, is_dir, length in matches:
+            if is_dir == "true":
+                continue
+            parts = full_path.rstrip("/").rsplit("/", 2)
+            if len(parts) < 2 or not parts[-2].startswith("day="):
+                continue
+            name = parts[-1]
+            if name.startswith("_"):
+                continue
+            try:
+                day = date.fromisoformat(parts[-2][4:])
+            except ValueError:
+                continue
+            out.setdefault(day, set()).add((name, int(length)))
+        return out
+
+    def _list_tier_files_slow(self, tier: str) -> dict[date, set[tuple[str, int]]]:
+        return {
+            day: files
+            for day in self.tier_days(tier)
+            if (files := self._list_day_files(tier, day))
+        }
+
     def _recover_compaction(self) -> None:
         """Finish or roll back a crashed compaction: for every day
         parked under ``_compact_old``, restore it if the live day dir

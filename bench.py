@@ -515,12 +515,16 @@ def main() -> None:
     # plan behavior).  Zero-shuffle; scales linearly with corpus bytes.
     from atsc_spark.datapipe import quality as _quality
 
+    gopher_n = min(prep_n, 20_000)  # linear pass; the per-doc rate is the number
+    gopher_docs = documents_dupheavy(spark, gopher_n)
     t0 = time.time()
-    kept_q = _quality.gopher_repetition_filter(prep_corpus).count()
+    kept_q = _quality.gopher_repetition_filter(gopher_docs).count()
+    g_sec = time.time() - t0
     extras["gopher_filter"] = {
-        "n_docs": prep_n,
+        "n_docs": gopher_n,
         "kept": int(kept_q),
-        "sec": round(time.time() - t0, 3),
+        "sec": round(g_sec, 3),
+        "docs_per_sec": round(gopher_n / max(g_sec, 1e-9), 1),
     }
     prep_corpus.unpersist()
 

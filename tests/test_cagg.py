@@ -423,3 +423,24 @@ def test_crash_between_grain_commits_self_heals(spark, cagg_series, tmp_path):
     for grain in GRAINS:
         _assert_rollup_equal(cagg.read(grain), _recompute(cagg_series, grain))
     assert cagg.refresh() == []
+
+
+def test_bulk_tier_listing_matches_per_day(spark, cagg_series, tmp_path):
+    """The 2-py4j-call bulk listing (globStatus + Arrays.toString parse)
+    must see exactly the files the per-day listStatus path sees — and
+    its fallback must engage (not crash) on a missing tier."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "bulkstore"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(cagg_series)
+    bulk = store._list_tier_files("raw")
+    slow = store._list_tier_files_slow("raw")
+    assert bulk and bulk == slow
+    assert store._list_tier_files("tier0") == {}  # missing tier dir
+    # fingerprints from the bulk listing equal the per-day ones
+    cagg = ContinuousRollups(spark, store)
+    by_tier = cagg._bulk_listing()
+    for day in list(bulk)[:3]:
+        assert cagg._day_fingerprint(day, by_tier) == cagg._day_fingerprint(day)
