@@ -6,13 +6,15 @@ signatures, partition sizing — is real and tested.  Decoding:
 
 - **real decoders** (pure numpy + stdlib, no external libs): binary
   PPM (P6) images, PNG (stdlib zlib inflate + numpy unfilter, all five
-  filter types, color types 0/2/3/4/6), and PCM WAV (RIFF,
-  8/16/32-bit) audio.  These run on actual bytes end-to-end.
-- JPEG/MP4 remain STUBBED: their codecs (DCT/entropy, H.26x) are not
-  in this container and are not reasonably reimplementable here, so
-  those either raise NotImplementedError (strict mode) or produce a
-  deterministic fake derived from the bytes.  Swapping in Pillow/PyAV
-  is a one-function change; nothing in the distribution shape moves.
+  filter types, color types 0/2/3/4/6), **baseline JPEG** (r6:
+  :mod:`jpeg` — marker parse, canonical huffman, dequant, IDCT,
+  chroma upsampling, restart markers; plus an encoder for fixtures),
+  and PCM WAV (RIFF, 8/16/32-bit) audio.  These run on actual bytes
+  end-to-end.
+- PROGRESSIVE JPEG and MP4 remain STUBBED: those either raise
+  NotImplementedError (strict mode) or produce a deterministic fake
+  derived from the bytes.  Swapping in Pillow/PyAV is a one-function
+  change; nothing in the distribution shape moves.
 
 Scale notes:
 - media blobs ride in the `content` binary column; Arrow transfers
@@ -552,13 +554,26 @@ def _fake_pixels(
 def decode_image(
     content: bytes, width: int, height: int, strict: bool | None = None
 ) -> np.ndarray:
-    """Decode dispatch: real paths for PPM (P6) and PNG blobs
-    (:func:`decode_png`, stdlib zlib + numpy unfilter); only JPEG etc.
-    still fall through to the stub (no codec libs in this container)."""
+    """Decode dispatch: real paths for PPM (P6), PNG (stdlib zlib +
+    numpy unfilter) and baseline JPEG (:mod:`jpeg` — pure-numpy
+    huffman/dequant/IDCT, r6).  Progressive JPEG raises its own
+    NotImplementedError in strict mode; everything else unrecognized
+    falls through to the stub."""
     if content.startswith(b"P6"):
         return decode_ppm(content)
     if content.startswith(_PNG_SIG):
         return decode_png(content)
+    if content.startswith(b"\xff\xd8"):
+        from . import jpeg as _jpeg
+
+        try:
+            px = _jpeg.decode_jpeg(content)
+        except NotImplementedError:
+            # progressive/arithmetic stream: still env-blocked
+            return _fake_pixels(content, width, height, strict)
+        if px.ndim == 2:  # grayscale -> 3 channels for the feature path
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px
     return _fake_pixels(content, width, height, strict)
 
 

@@ -450,7 +450,12 @@ def test_strict_per_call_overrides_module_global(spark):
     import pytest
     from atsc_spark.datapipe import multimodal as mm
 
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"notreallyajpeg" * 10  # no real decoder
+    import struct
+
+    # PROGRESSIVE jpeg (SOF2): the one image path still env-blocked
+    # now that baseline JPEG decodes for real (r6) — a baseline blob
+    # would take the real path and never reach the stub
+    jpeg_ish = b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 8) + bytes(6)
     media = spark.createDataFrame(
         [(1, "image", "image/jpeg", 4, 4, 0, bytearray(jpeg_ish))], mm.MEDIA_SCHEMA
     )
