@@ -167,8 +167,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy stream ended early")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: dangling 0xFF at end of stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -215,6 +219,8 @@ class _BitReader:
         self.nbits = 0
         while self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
             self.pos += 1
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: expected restart marker")
         self.pos += 2
 
 
@@ -239,6 +245,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     frame = None  # (H, W, [(cid, h, v, tq)])
     n = len(content)
     while pos < n:
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG: marker stream ended early")
         if content[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = content[pos + 1]
@@ -247,6 +255,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG: segment length cut off")
         (seglen,) = struct.unpack(">H", content[pos:pos + 2])
         seg = content[pos + 2:pos + seglen]
         end_of_segment = pos + seglen

@@ -571,6 +571,13 @@ def decode_image(
         except NotImplementedError:
             # progressive/arithmetic stream: still env-blocked
             return _fake_pixels(content, width, height, strict)
+        except (ValueError, IndexError, KeyError):
+            # corrupt/truncated baseline stream: one bad blob must not
+            # kill the whole mapInPandas batch in non-strict mode
+            # (ADVICE r6); strict mode surfaces the decode error.
+            if _strict(strict):
+                raise
+            return _fake_pixels(content, width, height, False)
         if px.ndim == 2:  # grayscale -> 3 channels for the feature path
             px = np.repeat(px[:, :, None], 3, axis=2)
         return px

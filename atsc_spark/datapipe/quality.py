@@ -116,7 +116,6 @@ def _ngrams_sql(toks_sql: str, n: int) -> str:
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
 ) -> DataFrame:
@@ -161,7 +160,6 @@ def repetition_stats(
 def gopher_repetition_filter(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     thresholds: dict[str, float] | None = None,
     keep_metrics: bool = False,
 ) -> DataFrame:
@@ -186,7 +184,7 @@ def gopher_repetition_filter(
             if k.startswith("dup_") and k.endswith("gram_char_frac")
         )
     )
-    stats = repetition_stats(docs, text_col, id_col, top_ns, dup_ns)
+    stats = repetition_stats(docs, text_col, top_ns, dup_ns)
     cond = F.lit(True)
     for metric, bound in th.items():
         if metric in stats.columns:

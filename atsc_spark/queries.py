@@ -458,7 +458,7 @@ def q_moving_avg(spark, sf_dir):
 
 SQL_MOVING_AVG = """
 SELECT event_type, event_id,
-       sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w AS sum_e4,
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS sum_e4,
        count(*) OVER w AS n_in_window
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -1699,12 +1699,12 @@ WITH d AS (
   SELECT ord_docs.off + g.i - 1 AS gpos, ord_docs.toks[g.i] AS tok, doc_id
   FROM ord_docs, UNNEST(range(1, ord_docs.n + 1)) AS g(i)
 ), seqs AS (
-  SELECT gpos // 256 AS seq_id,
+  SELECT CAST(gpos // 256 AS BIGINT) AS seq_id,
          string_agg(tok, ' ' ORDER BY gpos) AS text,
          count(*) AS n_tokens
   FROM flat GROUP BY 1
 ), din AS (
-  SELECT gpos // 256 AS seq_id, doc_id, min(gpos) AS fp
+  SELECT CAST(gpos // 256 AS BIGINT) AS seq_id, doc_id, min(gpos) AS fp
   FROM flat GROUP BY 1, 2
 ), dl AS (
   SELECT seq_id,

@@ -390,7 +390,8 @@ def main() -> None:
     lsh_scale = {}
     for n_docs in (10_000, 100_000):
         stats = _dedup.lsh_scale_stats(
-            documents_dupheavy(spark, n_docs), num_hashes=32, bands=4, max_bucket=1000
+            documents_dupheavy(spark, n_docs, plant_pii=False),
+            num_hashes=32, bands=4, max_bucket=1000,
         )
         lsh_scale[f"docs_{n_docs}"] = stats
     extras["lsh_scale"] = lsh_scale
@@ -451,7 +452,7 @@ def main() -> None:
     # even though the boilerplate span repeats n_docs/50 times
     span_scale = {}
     for n_docs in (10_000, 100_000):
-        dh = documents_dupheavy(spark, n_docs)
+        dh = documents_dupheavy(spark, n_docs, plant_pii=False)
         t0 = time.time()
         cnt = _spans.duplicate_spans(dh, window_tokens=16, stride=8).count()
         span_scale[f"docs_{n_docs}"] = {

@@ -110,3 +110,23 @@ def test_multimodal_dispatch_and_spark_path(spark):
         jpeg.encode_jpeg(img[:, :, 0], quality=95), 32, 24, strict=True
     )
     assert gpx.shape == (24, 32, 3)
+
+
+def test_corrupt_jpeg_falls_back_non_strict():
+    """A truncated/corrupt baseline JPEG must not crash the batch in
+    non-strict mode (ADVICE r6): decode_image falls back to the
+    deterministic fake; strict mode surfaces a ValueError."""
+    from atsc_spark.datapipe import multimodal
+
+    img = _smooth(16, 16)
+    good = jpeg.encode_jpeg(img, quality=90)
+    cut = good[: len(good) // 2]           # truncated entropy stream
+    flipped = bytearray(good)
+    flipped[len(good) // 2] ^= 0xFF        # corrupted mid-stream byte
+    for blob in (cut, bytes(flipped), b"\xff\xd8\xff"):
+        px = multimodal.decode_image(bytes(blob), 16, 16, strict=False)
+        assert px.shape == (16, 16, 3) and px.dtype == np.uint8
+        # deterministic: same blob -> same fake pixels
+        assert np.array_equal(px, multimodal.decode_image(bytes(blob), 16, 16, strict=False))
+    with pytest.raises((ValueError, IndexError, KeyError)):
+        multimodal.decode_image(cut, 16, 16, strict=True)

@@ -54,6 +54,20 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if len(a) != len(b):
         return False, f"row count {len(a)} vs {len(b)}"
     for c in a.columns:
+        # Dtype drift gate (VERDICT r6 #2): the driver's hash is
+        # dtype/repr-sensitive, so Spark bigint 123 vs a DuckDB
+        # HUGEINT rendered as float64 123.0 fails there while the
+        # numeric compare below calls them equal.  After canonical()
+        # the only surviving dtype classes are Int64 / float64 /
+        # boolean / datetime64[us] / object — require exact equality
+        # so any int-vs-float (or other) drift is loud locally.
+        if a[c].dtype != b[c].dtype:
+            return False, (
+                f"dtype drift col {c}: spark {a[c].dtype} vs oracle "
+                f"{b[c].dtype} (driver hash fails on this even when "
+                f"values compare equal — e.g. DuckDB HUGEINT -> float64)"
+            )
+    for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):
             ok = ((av.isna() & bv.isna()) | (av == bv)).all()

@@ -61,7 +61,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out = []
     for n_docs in sizes:
-        docs = documents_dupheavy(spark, n_docs).cache()
+        docs = documents_dupheavy(spark, n_docs, plant_pii=False).cache()
         docs.count()
         truth = truth_pairs(spark, n_docs).cache()
         n_truth = truth.count()
