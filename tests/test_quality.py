@@ -54,23 +54,65 @@ LINE = st.lists(WORDS, min_size=0, max_size=8).map(" ".join)
 TEXT = st.lists(LINE, min_size=1, max_size=6).map("\n".join)
 
 
+@pytest.mark.parametrize("impl", ["sql", "arrow"])
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(TEXT, min_size=1, max_size=6))
-def test_repetition_stats_python_oracle(spark, texts):
+def test_repetition_stats_python_oracle(spark, impl, texts):
     df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
     got = {
         r["doc_id"]: r.asDict()
-        for r in quality.repetition_stats(df, top_ns=TOP_NS, dup_ns=DUP_NS).collect()
+        for r in quality.repetition_stats(
+            df, top_ns=TOP_NS, dup_ns=DUP_NS, impl=impl
+        ).collect()
     }
     for i, text in enumerate(texts):
         want = ref_stats(text)
         for k, v in want.items():
             assert got[i][k] == pytest.approx(v, rel=1e-12, abs=1e-12), (
+                impl,
                 k,
                 text,
                 got[i][k],
                 v,
             )
+
+
+def test_repetition_stats_impls_pinned_identical(spark):
+    """The Arrow rewrite (VERDICT r6 #3) and the JVM-HOF path agree
+    bit-for-bit on an adversarial corpus: heavy repetition, count
+    ties, unicode, embedded newlines inside token context, empty and
+    single-token docs, and a null text row."""
+    texts = [
+        "spam spam spam spam spam spam",
+        "a b a b a b a b",
+        "x y\nx y\nx y\nz",
+        "",
+        "one",
+        "a  b   c",                      # empty tokens from double spaces
+        "p q r\n\np q r\n\ns",           # duplicate paragraphs
+        "tie a tie a tie b tie b",       # 2-gram count tie
+        "\u00fcber caf\u00e9 \u00fcber caf\u00e9 na\u00efve",  # unicode
+        ("lorem ipsum dolor sit amet " * 40).strip(),
+        None,
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_stats(df, impl="arrow").collect()
+    }
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_stats(df, impl="sql").collect()
+    }
+    assert a.keys() == b.keys()
+    for i in a:
+        for k, av in a[i].items():
+            bv = b[i][k]
+            if av is None or bv is None:
+                assert av is None and bv is None, (i, k, av, bv)
+            else:
+                assert av == pytest.approx(bv, rel=0, abs=0), (i, k, av, bv)
 
 
 def test_repetition_stats_fixed_cases(spark):
@@ -112,14 +154,17 @@ def test_gopher_filter_semantics(spark):
         quality.gopher_repetition_filter(df, thresholds={"nope": 0.5})
 
 
-def test_repetition_stats_zero_shuffle(spark):
+@pytest.mark.parametrize("impl", ["sql", "arrow"])
+def test_repetition_stats_zero_shuffle(spark, impl):
     df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     buf = io.StringIO()
     with redirect_stdout(buf):
-        quality.repetition_stats(df).explain("formatted")
+        quality.repetition_stats(df, impl=impl).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+    if impl == "arrow":
+        assert "MapInPandas" in plan
 
 
 # ------------------------------------------------ C4 line cleaning
