@@ -47,7 +47,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 #: metric -> threshold; a document is removed when metric > threshold
 #: (Rae et al. 2021, Appendix A1.1).
@@ -192,12 +192,49 @@ def repetition_stats(
     return docs.select(*cols)
 
 
+def _numerator_names(
+    top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> list[str]:
+    """Integer-numerator column order (:func:`repetition_numerators`)."""
+    names = []
+    for unit in ("line", "para"):
+        names += [f"n_{unit}s", f"dup_{unit}s", f"dup_{unit}_chars"]
+    names += [f"top_{n}gram_chars" for n in top_ns]
+    names += [f"dup_{n}gram_chars" for n in dup_ns]
+    return names
+
+
 def _batch_repetition_metrics(
     texts: list[str], top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
 ) -> np.ndarray:
     """All repetition metrics for a BATCH of documents at once —
     shape (len(texts), len(_metric_names())), :func:`_metric_names`
-    order.  Exact (no hashing) and C-speed throughout:
+    order.  Thin normalization over the exact integer numerators of
+    :func:`_batch_repetition_numerators` (int64 accumulation matches
+    the SQL fold's LONG accumulator; the divisions of exactly-
+    represented integers are the only float ops)."""
+    D = len(texts)
+    out = np.zeros((D, len(_metric_names(top_ns, dup_ns))), dtype=np.float64)
+    if D == 0:
+        return out
+    num, chars_i = _batch_repetition_numerators(texts, top_ns, dup_ns)
+    chars = chars_i.astype(np.float64)
+    for u in range(2):  # line, para
+        n_units = num[:, 3 * u]
+        distinct = n_units - num[:, 3 * u + 1]
+        out[:, 2 * u] = 1.0 - distinct / n_units
+        out[:, 2 * u + 1] = num[:, 3 * u + 2] / chars
+    out[:, 4:] = num[:, 6:] / chars[:, None]
+    return out
+
+
+def _batch_repetition_numerators(
+    texts: list[str], top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 repetition NUMERATORS for a batch — ``(num, chars)``
+    with ``num`` shaped (len(texts), len(_numerator_names())) in
+    :func:`_numerator_names` order and ``chars = max(len(text), 1)``.
+    C-speed throughout:
 
     - every token/line/paragraph in the batch is integer-coded by ONE
       hash-based ``pd.factorize`` per unit kind;
@@ -217,13 +254,11 @@ def _batch_repetition_metrics(
       sorted-order semantics) — almost always none.
     """
     D = len(texts)
-    metrics = _metric_names(top_ns, dup_ns)
-    out = np.zeros((D, len(metrics)), dtype=np.float64)
+    names = _numerator_names(top_ns, dup_ns)
+    out = np.zeros((D, len(names)), dtype=np.int64)
+    chars = np.maximum(np.fromiter(map(len, texts), np.int64, D), 1)
     if D == 0:
-        return out
-    chars = np.maximum(np.fromiter(map(len, texts), np.int64, D), 1).astype(
-        np.float64
-    )
+        return out, chars
     col = 0
     for sep in ("\n", "\n\n"):
         units = [t.split(sep) for t in texts]
@@ -238,13 +273,14 @@ def _batch_repetition_metrics(
         grp, counts = np.unique(key, return_counts=True)
         docu = grp // L
         distinct = np.bincount(docu, minlength=D)
-        out[:, col] = 1.0 - distinct / n_units
+        out[:, col] = n_units
+        out[:, col + 1] = n_units - distinct
         dup = counts >= 2
         if dup.any():
             ulen = np.fromiter(map(len, uniq), np.int64, len(uniq))
             w = counts[dup] * ulen[grp[dup] % L]
-            out[:, col + 1] = np.bincount(docu[dup], weights=w, minlength=D) / chars
-        col += 2
+            np.add.at(out[:, col + 2], docu[dup], w)
+        col += 3
     # ---- word n-grams over the batch-flattened token stream
     toks = [t.split(" ") for t in texts]
     n_toks = np.fromiter(map(len, toks), np.int64, D)
@@ -297,12 +333,7 @@ def _batch_repetition_metrics(
         if kind == "dup":
             dup = counts >= 2
             if dup.any():
-                out[:, c] = (
-                    np.bincount(
-                        docu[dup], weights=(counts[dup] * glen[dup]), minlength=D
-                    )
-                    / chars
-                )
+                np.add.at(out[:, c], docu[dup], counts[dup] * glen[dup])
         else:
             seg = np.flatnonzero(np.diff(docu, prepend=-1))
             docmax = np.maximum.reduceat(counts, seg)
@@ -316,7 +347,7 @@ def _batch_repetition_metrics(
             # docs with a single max-count gram: take it directly
             first_of_doc = np.flatnonzero(np.diff(hdoc, prepend=-1))
             n_cand = np.diff(np.append(first_of_doc, hidx.size))
-            val = counts[hidx].astype(np.float64) * glen[hidx]
+            val = counts[hidx] * glen[hidx]
             for s0, k in zip(first_of_doc, n_cand):
                 rows = hidx[s0 : s0 + k]
                 if k > 1:
@@ -329,8 +360,8 @@ def _batch_repetition_metrics(
                 else:
                     pick = 0
                 d = docu[rows[pick]]
-                out[d, c] = val[s0 + pick] / chars[d]
-    return out
+                out[d, c] = val[s0 + pick]
+    return out, chars
 
 
 def _repetition_stats_arrow(
@@ -359,6 +390,48 @@ def _repetition_stats_arrow(
             out = pdf.copy()
             for j, m in enumerate(metrics):
                 col = pd.array(vals[:, j], dtype="Float64")
+                col[null] = pd.NA
+                out[m] = col
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+def repetition_numerators(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher repetition metrics as exact BIGINT numerators appended
+    to ``docs``: ``chars`` (= max(length, 1)), per-unit ``n_lines /
+    dup_lines / dup_line_chars`` (idem paras), ``top_{n}gram_chars``
+    (occurrences x chars of the most-repeated n-gram, 0 when nothing
+    repeats, lexicographically-first tie-break) and
+    ``dup_{n}gram_chars`` (chars covered by n-grams seen >= 2 times,
+    every occurrence counted).  The hash-portable graded form of
+    :func:`repetition_stats` — integer outputs cannot drift across
+    engines the way float fractions can (`metric = numerator / chars`
+    exactly).  One zero-shuffle ``mapInPandas`` pass; null text yields
+    null numerators."""
+    names = ["chars"] + _numerator_names(top_ns, dup_ns)
+    top_t, dup_t = tuple(top_ns), tuple(dup_ns)
+    schema = StructType(
+        list(docs.schema.fields)
+        + [StructField(m, LongType(), True) for m in names]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            null = np.asarray(pdf[text_col].isna())
+            texts = [str(t) for t in pdf[text_col][~null]]
+            num, chars = _batch_repetition_numerators(texts, top_t, dup_t)
+            full = np.zeros((len(pdf), len(names)), dtype=np.int64)
+            full[~null, 0] = chars
+            full[~null, 1:] = num
+            out = pdf.copy()
+            for j, m in enumerate(names):
+                col = pd.array(full[:, j], dtype="Int64")
                 col[null] = pd.NA
                 out[m] = col
             yield out

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .datapipe import dedup, sampling, scrub, similarity, spans, textstats
+from .datapipe import dedup, quality, sampling, scrub, similarity, spans, textstats
 from .frames import decode_frames, fit_frames, compression_report
 from .rollup import gap_fill, rollup, rollup_cascade_step
 from .series import series_from_events
@@ -1372,6 +1372,103 @@ FROM chunks a JOIN chunks b
 SQL_SIMHASH_CANDIDATES = _simhash_candidates_sql()
 
 
+def q_gopher_stats(spark, sf_dir):
+    """Gopher repetition metrics as exact BIGINT numerators (r6
+    VERDICT #5): dup-line/para counts and chars, top-2/3/4-gram
+    covered chars, dup-5/10-gram covered chars.  Integer outputs are
+    the hash-portable graded form — the float fractions are just
+    `numerator / chars` (see quality.repetition_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality.repetition_numerators(
+        docs, top_ns=(2, 3, 4), dup_ns=(5, 10)
+    ).drop("text")
+
+
+def _gopher_stats_sql(
+    top_ns: tuple[int, ...] = (2, 3, 4), dup_ns: tuple[int, ...] = (5, 10)
+) -> str:
+    """DuckDB re-implementation of the Gopher repetition numerators
+    from first principles: unnest-the-units + GROUP BY instead of the
+    Spark side's batched factorize/np.unique — a genuinely independent
+    computation of the same definition.  Every sum is cast to BIGINT
+    (DuckDB promotes integer sums to HUGEINT, which df() renders as
+    float64 and fails the driver's dtype-sensitive hash — r6 lesson).
+    The top-n-gram tie-break is the lexicographically-first gram among
+    the max-count ones, matching the sorted-fold / np.unique order."""
+    unit_ctes, grams = [], []
+    for u, (name, arr) in enumerate([("line", "lines"), ("para", "paras")]):
+        unit_ctes.append(
+            f"""u{u} AS (
+  SELECT doc_id, el, count(*) AS c
+  FROM (SELECT doc_id, unnest({arr}) AS el FROM base) GROUP BY 1, 2
+), a{u} AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_u,
+         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * length(el) END), 0) AS BIGINT) AS dup_chars
+  FROM u{u} GROUP BY 1
+)"""
+        )
+    joins, sel = [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams.append(
+            f"""g{n} AS (
+  SELECT doc_id, array_to_string(toks[s + 1 : s + {n}], ' ') AS g
+  FROM base, UNNEST(range(greatest(len(toks) - {n - 1}, 0))) AS u(s)
+), g{n}c AS (
+  SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2
+)"""
+        )
+    for n in top_ns:
+        grams.append(
+            f"""t{n} AS (
+  SELECT doc_id, CAST(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END AS BIGINT) AS v
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        FROM g{n}c) WHERE rn = 1
+)"""
+        )
+        joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = base.doc_id")
+        sel.append(f"CAST(coalesce(t{n}.v, 0) AS BIGINT) AS top_{n}gram_chars")
+    for n in dup_ns:
+        grams.append(
+            f"""d{n} AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS v
+  FROM g{n}c GROUP BY 1
+)"""
+        )
+        joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = base.doc_id")
+        sel.append(f"CAST(coalesce(d{n}.v, 0) AS BIGINT) AS dup_{n}gram_chars")
+    ctes = ",\n".join(unit_ctes + grams)
+    sel_block = ",\n       ".join(sel)
+    join_block = "\n".join(joins)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(greatest(length(text), 1) AS BIGINT) AS chars,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras,
+         string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+{ctes}
+SELECT base.doc_id, base.chars,
+       CAST(len(base.lines) AS BIGINT) AS n_lines,
+       CAST(len(base.lines) - a0.distinct_u AS BIGINT) AS dup_lines,
+       a0.dup_chars AS dup_line_chars,
+       CAST(len(base.paras) AS BIGINT) AS n_paras,
+       CAST(len(base.paras) - a1.distinct_u AS BIGINT) AS dup_paras,
+       a1.dup_chars AS dup_para_chars,
+       {sel_block}
+FROM base
+JOIN a0 ON a0.doc_id = base.doc_id
+JOIN a1 ON a1.doc_id = base.doc_id
+{join_block}
+"""
+
+
+SQL_GOPHER_STATS = _gopher_stats_sql()
+
+
 def q_top_terms(spark, sf_dir):
     """Corpus-level term frequency top-k — the classic text-analytics
     aggregate (explode + count + rank with a term tiebreak)."""
@@ -1752,9 +1849,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # degenerate ones).  r6 rotated `gapfill_locf_bounded`,
     # `asof_prev_value`, `embedding_norms` and `counter_rate` out
     # (subsumed by gapfill_locf / asof_join / a trivial projection /
-    # counter_increase) for the four corpus-prep operators below.
-    # Folded/rotated operators remain public API with their own tests
-    # — only the graded-entry budget changed.
+    # counter_increase) for the four corpus-prep operators below; r7
+    # rotated `simhash_candidates` out (its blocking join + exact
+    # Hamming math stays covered by `simhash` + `near_dup_survivors`)
+    # for `gopher_stats`.  Folded/rotated operators remain public API
+    # with their own tests — only the graded-entry budget changed.
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,
     "pii_counts": q_pii_counts,
@@ -1763,7 +1862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "dedup_clusters": q_dedup_clusters,
     "near_dup_survivors": q_near_dup_survivors,
-    "simhash_candidates": q_simhash_candidates,
+    "gopher_stats": q_gopher_stats,
     "top_terms": q_top_terms,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -1817,7 +1916,7 @@ ORACLES: dict[str, str] = {
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "dedup_clusters": _dedup_clusters_sql(),
     "near_dup_survivors": _near_dup_survivors_sql(),
-    "simhash_candidates": SQL_SIMHASH_CANDIDATES,
+    "gopher_stats": SQL_GOPHER_STATS,
     "top_terms": SQL_TOP_TERMS,
     "token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,

@@ -57,3 +57,27 @@ def test_registry_capped_at_50_with_full_oracle_coverage():
     assert not missing, f"queries without oracles: {missing}"
     extras = [k for k in o if k not in q]
     assert not extras, f"orphan oracles: {extras}"
+
+
+def test_no_nonportable_types_in_any_oracle():
+    """DESCRIBE every oracle SQL and assert no HUGEINT / UHUGEINT /
+    DECIMAL column escapes: DuckDB promotes integer sums (window and
+    plain) to int128, which ``duckdb.df()`` renders as float64 — the
+    driver's dtype-sensitive hash then fails while values compare
+    equal (r6's moving_avg / pack_sequences, three rounds red).  Every
+    integer output must be cast to BIGINT in the oracle SQL."""
+    import __spark_entry__ as e
+    from compare_oracle import duck_connection
+
+    con = duck_connection(SF_DIR)
+    bad = {}
+    for name, sql in e.oracle_sql().items():
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        hits = [
+            (c[0], c[1])
+            for c in cols
+            if any(t in c[1].upper() for t in ("HUGEINT", "DECIMAL"))
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"non-portable oracle output types (cast to BIGINT): {bad}"

@@ -215,3 +215,50 @@ def test_filter_lines_policy_hook(spark):
     )
     out = quality.filter_lines(df, "NOT lower(x) LIKE '%badword%'").collect()
     assert out[0]["text"] == "keep this line\nkeep another line"
+
+
+def test_repetition_numerators_consistent_with_fractions(spark):
+    """numerator / chars reproduces every char-frac metric exactly, and
+    dup_units / n_units the dup fractions (1 - distinct/n semantics);
+    null text yields null numerators."""
+    texts = [
+        "spam spam spam spam spam spam",
+        "x y\nx y\nx y\nz",
+        "p q r\n\np q r\n\ns",
+        "tie a tie a tie b tie b",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    top_ns, dup_ns = (2, 3, 4), (5, 10)
+    num = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_numerators(
+            df, top_ns=top_ns, dup_ns=dup_ns
+        ).collect()
+    }
+    frac = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_stats(df, top_ns=top_ns, dup_ns=dup_ns).collect()
+    }
+    for i, text in enumerate(texts):
+        n, f = num[i], frac[i]
+        if text is None:
+            assert n["chars"] is None and n["dup_lines"] is None
+            continue
+        assert n["chars"] == max(len(text), 1)
+        for unit in ("line", "para"):
+            assert n[f"n_{unit}s"] >= 1
+            got = 1.0 - (n[f"n_{unit}s"] - n[f"dup_{unit}s"]) / n[f"n_{unit}s"]
+            assert got == pytest.approx(f[f"dup_{unit}_frac"], abs=0)
+            assert n[f"dup_{unit}_chars"] / n["chars"] == pytest.approx(
+                f[f"dup_{unit}_char_frac"], abs=0
+            )
+        for nn in top_ns:
+            assert n[f"top_{nn}gram_chars"] / n["chars"] == pytest.approx(
+                f[f"top_{nn}gram_char_frac"], abs=0
+            )
+        for nn in dup_ns:
+            assert n[f"dup_{nn}gram_chars"] / n["chars"] == pytest.approx(
+                f[f"dup_{nn}gram_char_frac"], abs=0
+            )
