@@ -1,24 +1,31 @@
-"""Baseline JPEG (JFIF) codec in pure numpy + stdlib.
+"""JPEG (JFIF) codec in pure numpy + stdlib: baseline + progressive.
 
 Closes the long-standing "JPEG is stubbed" gap in
 :mod:`multimodal` (rounds 2-5: no Pillow/cv2 in this container, so
-JPEG blobs fell through to the deterministic fake).  Baseline
-sequential DCT JPEG is a fully published format (ITU-T T.81 / ISO
-10918-1): marker segments, canonical Huffman tables, zigzag'd 8x8
-quantized DCT blocks, interleaved MCUs with chroma subsampling,
-optional restart markers.  All of that is implemented here directly.
+JPEG blobs fell through to the deterministic fake).  JPEG DCT coding
+is a fully published format (ITU-T T.81 / ISO 10918-1): marker
+segments, canonical Huffman tables, zigzag'd 8x8 quantized DCT
+blocks, interleaved MCUs with chroma subsampling, optional restart
+markers.  All of that is implemented here directly.
 
-Decoder (:func:`decode_jpeg`) supports: baseline DCT (SOF0/SOF1),
-8-bit precision, 1- or 3-component scans, arbitrary H/V sampling
-factors (4:4:4, 4:2:0, 4:2:2, ...), multiple DQT/DHT segments,
-16-bit quantizer entries, restart markers (DRI/RSTn), 0xFF00 byte
-stuffing.  Progressive (SOF2) and arithmetic coding raise
-``NotImplementedError`` — those remain honestly out of scope.
+Decoder (:func:`decode_jpeg`) supports: baseline DCT (SOF0/SOF1) and
+— since r7 — progressive DCT (SOF2: spectral selection, successive
+approximation DC/AC refinement scans, end-of-band run coding,
+per-scan restart intervals).  8-bit precision, 1- or 3-component
+scans, arbitrary H/V sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
+multiple DQT/DHT segments, 16-bit quantizer entries, restart markers
+(DRI/RSTn), 0xFF00 byte stuffing, fill bytes.  Arithmetic coding,
+lossless and hierarchical processes raise ``NotImplementedError`` —
+those remain honestly out of scope.
 
 Encoder (:func:`encode_jpeg`) produces baseline JFIF with the Annex-K
 example tables (scaled by a quality knob the same way libjpeg scales
-them), 4:4:4 or 4:2:0 subsampling, and optional restart intervals —
-it exists so the decoder can be exercised against self-produced
+them), 4:4:4 or 4:2:0 subsampling, optional restart intervals, and —
+with ``progressive=True`` — an SOF2 multi-scan stream carrying the
+SAME quantized coefficients (shared :func:`_prepare_components`
+front half), so decoding either encoding of one input is
+pixel-identical: the progressive decoder's correctness oracle.  It
+exists so the decoder can be exercised against self-produced
 fixtures AND against hand-computed expectations (a DC-only block's
 decoded value is computable by hand: pixel = F00/8 + 128 for an
 all-ones quantizer).
@@ -231,10 +238,11 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline JFIF blob to uint8 pixels: (H, W, 3) RGB for
-    3-component images, (H, W) for grayscale.  Raises
-    ``NotImplementedError`` for progressive/arithmetic streams and
-    ``ValueError`` for malformed ones."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JFIF blob
+    to uint8 pixels: (H, W, 3) RGB for 3-component images, (H, W) for
+    grayscale.  Raises ``NotImplementedError`` for
+    arithmetic-coded/lossless/hierarchical streams and ``ValueError``
+    for malformed ones."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -243,6 +251,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (H, W, [(cid, h, v, tq)])
+    progressive = False
+    saw_scan = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag coefs
     n = len(content)
     while pos < n:
         if pos + 1 >= n:
@@ -251,6 +262,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             raise ValueError(f"marker expected at {pos}")
         marker = content[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos -= 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -272,7 +286,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     vals = np.frombuffer(seg[i:i + 64], dtype=np.uint8).astype(np.int64)
                     i += 64
                 quant[tq] = vals  # stored in ZIGZAG order
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision JPEG supported")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -281,9 +295,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(ch for _, ch, _, _ in comps)
+                vmax = max(cv for _, _, cv, _ in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                for cid, ch, cv, _tq in comps:
+                    coefs[cid] = np.zeros(
+                        (mcus_y * cv, mcus_x * ch, 64), dtype=np.int64
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) not supported"
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -304,11 +328,24 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c:3 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_scan(
-                content, end_of_segment, frame, scan, quant,
+            if not progressive:
+                return _decode_scan(
+                    content, end_of_segment, frame, scan, quant,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                content, end_of_segment, frame, scan, coefs,
                 huff_dc, huff_ac, restart_interval,
+                ss, se, ahl >> 4, ahl & 0xF,
             )
+            saw_scan = True
+            continue
         pos = end_of_segment
+    if progressive:
+        if not saw_scan:
+            raise ValueError("progressive JPEG without scans")
+        return _finish_progressive(frame, coefs, quant)
     raise ValueError("no SOS segment found")
 
 
@@ -369,6 +406,13 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
         if h != hmax or v != vmax:
             p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
         out_planes.append(p[:height, :width])
+    return _planes_to_pixels(out_planes)
+
+
+def _planes_to_pixels(out_planes: list[np.ndarray]) -> np.ndarray:
+    """Full-resolution component planes -> uint8 pixels (shared by the
+    baseline and progressive finish paths so both produce bit-identical
+    output from identical coefficients)."""
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
@@ -377,6 +421,232 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------- progressive decode (SOF2)
+#
+# T.81 Annex G: the frame's DCT coefficients accumulate across many
+# scans — DC first/refinement (spectral band 0, successive
+# approximation Ah/Al) and per-component AC first/refinement scans
+# (band Ss..Se) with shared end-of-band (EOBn) run coding.  Decoding
+# keeps one int64 zigzag coefficient array per component and applies
+# each scan in place; dequantization + IDCT happen once at EOI.
+
+
+def _comp_block_dims(frame, cid: int) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: the blocks needed
+    to cover ceil(W*h/hmax) x ceil(H*v/vmax) samples (T.81 A.2.2) —
+    SMALLER than the MCU-padded grid used by interleaved scans."""
+    height, width, comps = frame
+    by_id = {c: (h, v) for c, h, v, _tq in comps}
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    h, v = by_id[cid]
+    cw = -(-width * h // hmax)
+    ch = -(-height * v // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past any remaining entropy bytes / RSTn markers to the
+    next true marker boundary (the 0xFF of the next segment)."""
+    n = len(data)
+    p = pos
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:  # stuffed data byte
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker inside this scan
+                p += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _dc_scan_progressive(reader, frame, scan, coefs, huff_dc, ri, ah, al):
+    height, width, comps = frame
+    by_id = {cid: (h, v) for cid, h, v, _tq in comps}
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+
+    def one_block(blk, td, pred, cid):
+        if ah == 0:
+            s = reader.decode_symbol(huff_dc[td])
+            diff = _extend(reader.receive(s), s)
+            pred[cid] += diff
+            blk[0] = pred[cid] << al
+        elif reader.read_bit():
+            blk[0] |= 1 << al
+
+    pred = {cid: 0 for cid, _, _ in scan}
+    cnt = 0
+    if len(scan) > 1:  # interleaved MCU order over the full padded grid
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and cnt and cnt % ri == 0:
+                    reader.restart()
+                    pred = {cid: 0 for cid in pred}
+                for cid, td, _ta in scan:
+                    h, v = by_id[cid]
+                    for bv in range(v):
+                        for bh in range(h):
+                            one_block(coefs[cid][my * v + bv, mx * h + bh], td, pred, cid)
+                cnt += 1
+    else:  # single component: raster over its own (unpadded) grid
+        cid, td, _ta = scan[0]
+        by, bx = _comp_block_dims(frame, cid)
+        for yb in range(by):
+            for xb in range(bx):
+                if ri and cnt and cnt % ri == 0:
+                    reader.restart()
+                    pred = {cid: 0}
+                one_block(coefs[cid][yb, xb], td, pred, cid)
+                cnt += 1
+
+
+def _ac_first_block(blk, reader, huff, ss, se, al, eobrun):
+    """First AC pass for one block (T.81 G.2.2): returns the updated
+    pending end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(huff)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(blk, reader, huff, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.2.2 / the classic jdphuff structure): zero-history runs select
+    where new +-1<<Al coefficients land; every nonzero-history
+    coefficient passed on the way reads one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(huff)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: the FULL run, including this
+                    # block's tail — the correction-bits branch below
+                    # consumes the current block and decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement scan")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an end-of-band run: correction bits only
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, coefs, huff_dc, huff_ac,
+    restart_interval, ss, se, ah, al,
+):
+    """Apply one progressive scan to the coefficient arrays; returns
+    the byte offset of the next marker."""
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        _dc_scan_progressive(
+            reader, frame, scan, coefs, huff_dc, restart_interval, ah, al
+        )
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _td, ta = scan[0]
+        by, bx = _comp_block_dims(frame, cid)
+        huff = huff_ac.get(ta)
+        if huff is None:
+            raise ValueError(f"missing AC huffman table {ta}")
+        eobrun = 0
+        cnt = 0
+        for yb in range(by):
+            for xb in range(bx):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    reader.restart()
+                    eobrun = 0
+                blk = coefs[cid][yb, xb]
+                if ah == 0:
+                    eobrun = _ac_first_block(blk, reader, huff, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(blk, reader, huff, ss, se, al, eobrun)
+                cnt += 1
+    return _skip_to_marker(data, reader.pos)
+
+
+def _finish_progressive(frame, coefs, quant):
+    """Dequantize + IDCT the accumulated coefficients (same per-block
+    math as the baseline path) and assemble pixels."""
+    height, width, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    out_planes = []
+    for cid, h, v, tq in comps:
+        if tq not in quant:
+            raise ValueError(f"missing quantization table {tq}")
+        q = quant[tq]
+        arr = coefs[cid]
+        by, bx, _ = arr.shape
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        for yb in range(by):
+            for xb in range(bx):
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = (arr[yb, xb] * q).astype(np.float64)
+                block = block.reshape(8, 8)
+                plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = _AT @ block @ _A + 128.0
+        if h != hmax or v != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(plane[:height, :width])
+    return _planes_to_pixels(out_planes)
 
 
 # ---------------------------------------------------------- encoder
@@ -421,18 +691,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def encode_jpeg(
-    px: np.ndarray,
-    quality: int = 90,
-    subsampling: tuple[int, int] = (1, 1),
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encoder (Annex-K tables scaled by ``quality``).
-
-    ``px``: (H, W, 3) uint8 RGB or (H, W) grayscale.  ``subsampling``
-    (1, 1) = 4:4:4, (2, 2) = 4:2:0 (chroma averaged 2x2).  Exists so
-    :func:`decode_jpeg` has real in-repo fixtures; also a legitimate
-    sink for the multimodal pipeline's resize outputs."""
+def _prepare_components(px, quality, subsampling):
+    """Color-convert, subsample, MCU-pad and quantize: returns
+    ``(gray, h, w, samp, qtabs, qy, qc, mcus_y, mcus_x, coefs)`` where
+    ``coefs[ci]`` is the (mcus_y*v, mcus_x*h, 64) int64 array of
+    ZIGZAG-ordered quantized DCT coefficients — the shared front half
+    of both the baseline and progressive encoders, guaranteeing the
+    two emit the SAME coefficients (the pixel-exactness test's
+    foundation)."""
     px = np.asarray(px)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -464,19 +730,54 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    # pad each plane to its MCU-aligned size (edge replicate)
-    padded = []
-    for p, (ch, cv) in zip(planes, samp):
+    qz = [qy.reshape(8, 8), qc.reshape(8, 8)]  # row-major divisor tables
+    coefs = []
+    for ci, (p, (ch, cv)) in enumerate(zip(planes, samp)):
         th, tw = mcus_y * cv * 8, mcus_x * ch * 8
-        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        dct_q = qz[qtabs[ci]]
+        arr = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+        for yb in range(mcus_y * cv):
+            for xb in range(mcus_x * ch):
+                block = p[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] - 128.0
+                coef = _A @ block @ _AT
+                qd = np.round(coef / dct_q).astype(np.int64)
+                arr[yb, xb] = qd.reshape(-1)[ZIGZAG]
+        coefs.append(arr)
+    return gray, h, w, samp, qtabs, qy, qc, mcus_y, mcus_x, coefs
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+    progressive: bool = False,
+) -> bytes:
+    """JFIF encoder (Annex-K tables scaled by ``quality``).
+
+    ``px``: (H, W, 3) uint8 RGB or (H, W) grayscale.  ``subsampling``
+    (1, 1) = 4:4:4, (2, 2) = 4:2:0 (chroma averaged 2x2).
+    ``progressive=True`` emits the same quantized coefficients as an
+    SOF2 multi-scan stream (DC first -> per-component spectral AC
+    bands -> DC/AC successive-approximation refinements), so a decode
+    of both encodings of the same input is pixel-identical.  Exists so
+    :func:`decode_jpeg` has real in-repo fixtures; also a legitimate
+    sink for the multimodal pipeline's resize outputs."""
+    (gray, h, w, samp, qtabs, qy, qc,
+     mcus_y, mcus_x, coefs) = _prepare_components(px, quality, subsampling)
+    if progressive:
+        return _assemble_progressive(
+            gray, h, w, samp, qtabs, qy, qc, mcus_y, mcus_x, coefs,
+            restart_interval,
+        )
     dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                 _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
-    qz = [qy.reshape(8, 8), qc.reshape(8, 8)]  # row-major divisor tables
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(coefs)
     mcu_count = 0
     n_restarts = 0
     for my in range(mcus_y):
@@ -485,19 +786,13 @@ def encode_jpeg(
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (n_restarts % 8)])
                 n_restarts += 1
-                pred = [0] * len(planes)
-            for ci, (p, (ch, cv)) in enumerate(zip(padded, samp)):
+                pred = [0] * len(coefs)
+            for ci, (ch, cv) in enumerate(samp):
                 tabi = 0 if ci == 0 else 1
-                dct_q = qz[qtabs[ci]]
                 dcc, acc = dc_codes[tabi], ac_codes[tabi]
                 for bv in range(cv):
                     for bh in range(ch):
-                        y0 = (my * cv + bv) * 8
-                        x0 = (mx * ch + bh) * 8
-                        block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
-                        coef = _A @ block @ _AT
-                        qd = np.round(coef / dct_q).astype(np.int64)
-                        zz = qd.reshape(-1)[ZIGZAG]
+                        zz = coefs[ci][my * cv + bv, mx * ch + bh]
                         diff = int(zz[0]) - pred[ci]
                         pred[ci] = int(zz[0])
                         s, bits = _magnitude(diff)
@@ -557,5 +852,262 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, bytes(sos))
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------- progressive encode (SOF2)
+
+#: AC Huffman table for progressive scans: the Annex-K AC tables lack
+#: the EOBn symbols (0x10..0xE0) that end-of-band run coding needs, so
+#: progressive streams carry this custom table — every symbol we can
+#: emit (EOB0..EOB14, ZRL, and (run, size) for run 0..15 / size 1..10)
+#: as a flat 9-bit canonical code.  176/512 leaves the all-ones code
+#: unused (T.81 forbids it) and keeps the encoder trivially correct;
+#: compactness is not the fixture encoder's job.
+PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = [0] * 16
+PROG_AC_BITS[8] = len(PROG_AC_VALS)  # all codes 9 bits long
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): divide by 2^Al truncating
+    toward zero (arithmetic shift of the magnitude)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_eobrun(bw: _BitWriter, ac, eobrun: int, be_bits: list[int]) -> None:
+    """EOBn symbol (+ extra run bits) followed by the correction bits
+    buffered while the run grew (refinement scans only)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(eobrun - (1 << nbits), nbits)
+    for b in be_bits:
+        bw.write(b, 1)
+
+
+def _encode_dc_scan(coefs, samp, dc_codes, mcus_y, mcus_x, ah, al, ri):
+    """Progressive DC scan, interleaved over all components: first pass
+    (Ah=0) codes diffs of dc >> Al; refinement passes emit the single
+    next bit per block."""
+    bw = _BitWriter()
+    pred = [0] * len(coefs)
+    cnt = 0
+    nrst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and cnt and cnt % ri == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (nrst % 8)])
+                nrst += 1
+                pred = [0] * len(coefs)
+            for ci, (ch, cv) in enumerate(samp):
+                dcc = dc_codes[0 if ci == 0 else 1]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        dc = int(coefs[ci][my * cv + bv, mx * ch + bh, 0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift (G.1.2.1)
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s, bits = _magnitude(diff)
+                            code, ln = dcc[s]
+                            bw.write(code, ln)
+                            if s:
+                                bw.write(bits, s)
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+            cnt += 1
+    bw.flush()
+    return bw.out
+
+
+def _encode_ac_first_scan(arr, blocks_y, blocks_x, ac, ss, se, al, ri):
+    """First AC pass over one component's band: baseline-style
+    run/size coding plus cross-block end-of-band runs."""
+    bw = _BitWriter()
+    eobrun = 0
+    cnt = 0
+    nrst = 0
+
+    def flush():
+        nonlocal eobrun
+        _emit_eobrun(bw, ac, eobrun, [])
+        eobrun = 0
+
+    for yb in range(blocks_y):
+        for xb in range(blocks_x):
+            if ri and cnt and cnt % ri == 0:
+                flush()
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (nrst % 8)])
+                nrst += 1
+            band = [_pt_ac(int(v), al) for v in arr[yb, xb, ss:se + 1]]
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+            else:
+                flush()
+                k = 0
+                for j in nz:
+                    run = j - k
+                    while run > 15:
+                        code, ln = ac[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(band[j])
+                    code, ln = ac[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits, s)
+                    k = j + 1
+                if k <= se - ss:  # trailing zeros: EOB joins the run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+            cnt += 1
+    flush()
+    bw.flush()
+    return bw.out
+
+
+def _encode_ac_refine_scan(arr, blocks_y, blocks_x, ac, ss, se, al, ri):
+    """AC successive-approximation refinement pass (the classic
+    jcphuff structure, re-derived from T.81 G.1.2.3): newly-significant
+    coefficients are coded as (zero-history run, 1) + sign; coefficients
+    already significant contribute one buffered correction bit each;
+    all-insignificant tails fold into end-of-band runs whose buffered
+    correction bits follow the EOBn symbol."""
+    bw = _BitWriter()
+    eobrun = 0
+    be_bits: list[int] = []
+    cnt = 0
+    nrst = 0
+
+    def flush():
+        nonlocal eobrun, be_bits
+        _emit_eobrun(bw, ac, eobrun, be_bits)
+        eobrun = 0
+        be_bits = []
+
+    for yb in range(blocks_y):
+        for xb in range(blocks_x):
+            if ri and cnt and cnt % ri == 0:
+                flush()
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (nrst % 8)])
+                nrst += 1
+            vals = [int(v) for v in arr[yb, xb, ss:se + 1]]
+            absv = [abs(v) >> al for v in vals]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush()
+                    code, ln = ac[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if t > 1:  # already significant: correction bit
+                    br.append(t & 1)
+                    continue
+                flush()  # newly significant at zero-history run r
+                code, ln = ac[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(0 if vals[i] < 0 else 1, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:  # rest of band folds into the EOB run
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+            cnt += 1
+    flush()
+    bw.flush()
+    return bw.out
+
+
+def _assemble_progressive(
+    gray, h, w, samp, qtabs, qy, qc, mcus_y, mcus_x, coefs, restart_interval
+):
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy[ZIGZAG]))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc[ZIGZAG]))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        ch, cv = samp[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, qtabs[ci]])
+    out += seg(0xC2, bytes(sof))  # SOF2: progressive DCT
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def sos(comps_spec, ss, se, ah, al):
+        body = bytearray([len(comps_spec)])
+        for cid, td, ta in comps_spec:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(body))
+
+    def block_dims(ci):
+        ch, cv = samp[ci]
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    ri = restart_interval
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    # scan script: DC first (Al=1) -> spectral AC bands (Al=1, luma
+    # split 1-5 / 6-63) -> DC refinement -> full-band AC refinements
+    out += sos(all_comps, 0, 0, 0, 1)
+    out += _encode_dc_scan(coefs, samp, dc_codes, mcus_y, mcus_x, 0, 1, ri)
+    bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+    for ci, ss_, se_ in bands:
+        by, bx = block_dims(ci)
+        out += sos([(ci + 1, 0, 0)], ss_, se_, 0, 1)
+        out += _encode_ac_first_scan(coefs[ci], by, bx, ac, ss_, se_, 1, ri)
+    out += sos(all_comps, 0, 0, 1, 0)
+    out += _encode_dc_scan(coefs, samp, dc_codes, mcus_y, mcus_x, 1, 0, ri)
+    for ci in range(ncomp):
+        by, bx = block_dims(ci)
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        out += _encode_ac_refine_scan(coefs[ci], by, bx, ac, 1, 63, 0, ri)
     out += b"\xff\xd9"
     return bytes(out)

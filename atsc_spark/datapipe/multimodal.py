@@ -555,10 +555,11 @@ def decode_image(
     content: bytes, width: int, height: int, strict: bool | None = None
 ) -> np.ndarray:
     """Decode dispatch: real paths for PPM (P6), PNG (stdlib zlib +
-    numpy unfilter) and baseline JPEG (:mod:`jpeg` — pure-numpy
-    huffman/dequant/IDCT, r6).  Progressive JPEG raises its own
-    NotImplementedError in strict mode; everything else unrecognized
-    falls through to the stub."""
+    numpy unfilter), baseline JPEG (:mod:`jpeg` — pure-numpy
+    huffman/dequant/IDCT, r6) and progressive JPEG (SOF2 multi-scan
+    successive approximation, r7).  Arithmetic-coded/lossless JPEG
+    raises NotImplementedError in strict mode; everything else
+    unrecognized falls through to the stub."""
     if content.startswith(b"P6"):
         return decode_ppm(content)
     if content.startswith(_PNG_SIG):
@@ -569,7 +570,8 @@ def decode_image(
         try:
             px = _jpeg.decode_jpeg(content)
         except NotImplementedError:
-            # progressive/arithmetic stream: still env-blocked
+            # arithmetic-coded / lossless / hierarchical stream:
+            # still out of scope (progressive decodes for real as of r7)
             return _fake_pixels(content, width, height, strict)
         except (ValueError, IndexError, KeyError):
             # corrupt/truncated baseline stream: one bad blob must not

@@ -78,14 +78,85 @@ def test_flat_color_exact():
     assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
 
 
-def test_progressive_and_garbage_rejected():
+def test_arithmetic_and_garbage_rejected():
     import struct
 
-    blob = b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 8) + bytes(6)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    # SOF9: arithmetic-coded extended sequential — still out of scope
+    blob = b"\xff\xd8" + bytes([0xFF, 0xC9]) + struct.pack(">H", 8) + bytes(6)
+    with pytest.raises(NotImplementedError, match="unsupported JPEG coding"):
         jpeg.decode_jpeg(blob)
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"not a jpeg")
+
+
+# -------------------------------------------- progressive (SOF2, r7)
+
+
+@pytest.mark.parametrize(
+    "shape,kw",
+    [
+        ((16, 16), {}),                                        # gray multi-block
+        ((8, 8, 3), {}),                                       # color 4:4:4 single MCU
+        ((23, 17, 3), {"subsampling": (2, 2)}),                # 4:2:0, odd dims
+        ((33, 41, 3), {"subsampling": (2, 2), "restart_interval": 2}),
+        ((48, 32), {"restart_interval": 3}),                   # gray + restarts
+    ],
+)
+def test_progressive_decode_pixel_exact_vs_baseline(shape, kw):
+    """The progressive and baseline encoders share the quantized
+    coefficients (_prepare_components), so decoding either stream must
+    give bit-identical pixels — the progressive decoder's oracle."""
+    px = np.random.default_rng(11).integers(0, 256, shape, dtype=np.uint8)
+    base = jpeg.encode_jpeg(px, quality=75, **kw)
+    prog = jpeg.encode_jpeg(px, quality=75, progressive=True, **kw)
+    assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog  # really SOF2
+    assert np.array_equal(jpeg.decode_jpeg(base), jpeg.decode_jpeg(prog))
+
+
+def test_progressive_eob_runs_longer_than_one():
+    """A flat image makes every AC band all-zero, so the encoder emits
+    EOBn symbols with multi-block runs (n >= 1) and the decoder must
+    walk them across blocks — the refinement pass additionally reads
+    buffered correction bits inside the run."""
+    px = np.full((64, 64, 3), 77, dtype=np.uint8)
+    prog = jpeg.encode_jpeg(px, quality=75, progressive=True)
+    base = jpeg.encode_jpeg(px, quality=75)
+    assert np.array_equal(jpeg.decode_jpeg(base), jpeg.decode_jpeg(prog))
+
+
+def test_progressive_randomized_sweep():
+    """Shapes x quality x subsampling x restarts, all pixel-exact."""
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        hh, ww = int(r.integers(1, 50)), int(r.integers(1, 50))
+        color = bool(r.integers(0, 2))
+        px = r.integers(0, 256, (hh, ww, 3) if color else (hh, ww), dtype=np.uint8)
+        kw = {}
+        if color and r.integers(0, 2):
+            kw["subsampling"] = (2, 2)
+        if r.integers(0, 2):
+            kw["restart_interval"] = int(r.integers(1, 5))
+        q = int(r.integers(5, 99))
+        db = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=q, **kw))
+        dp = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=q, progressive=True, **kw))
+        assert np.array_equal(db, dp), (seed, px.shape, kw, q)
+
+
+def test_progressive_through_multimodal_strict():
+    """decode_image now takes the REAL path for progressive blobs even
+    in strict mode (the r2-r6 stub is gone); corrupt progressive blobs
+    still fall back to the deterministic fake when non-strict."""
+    from atsc_spark.datapipe import multimodal
+
+    img = _smooth(24, 32)
+    prog = jpeg.encode_jpeg(img, quality=90, progressive=True)
+    px = multimodal.decode_image(prog, 32, 24, strict=True)
+    assert np.array_equal(px, jpeg.decode_jpeg(prog))
+    cut = prog[: len(prog) * 2 // 3]
+    fb = multimodal.decode_image(cut, 32, 24, strict=False)
+    assert fb.shape == (24, 32, 3)
+    with pytest.raises((ValueError, IndexError, KeyError)):
+        multimodal.decode_image(cut, 32, 24, strict=True)
 
 
 def test_multimodal_dispatch_and_spark_path(spark):
