@@ -14,7 +14,14 @@ every 50th id — are exact dupes of each other and trivially caught by
 dedup_exact; they are excluded from recall, and their bucket is what
 max_bucket caps).
 
+r6 established (32, 8) as the band/row knee and max_bucket — not
+bands — as the 100-TB recall lever (recall eroded 0.82 -> 0.71 from
+10k to 100k docs at a fixed max_bucket=1000: cap truncation, not
+hash collisions).  r7 adds the max_bucket sweep at the (32, 8)
+default (VERDICT r6 #7) so the cap is a measured choice too.
+
 Usage: python tools/lsh_tune.py [n_docs] [n_docs ...]
+       python tools/lsh_tune.py --buckets-only [n_docs ...]
 """
 
 from __future__ import annotations
@@ -51,8 +58,39 @@ def truth_pairs(spark, n_docs: int):
     )
 
 
+#: max_bucket sweep points at the (32, 8) default: the r5/r6 cap,
+#: then progressively looser (the boilerplate bucket is ~n_docs/50
+#: rows, so 20k uncaps it entirely at 100k docs)
+BUCKET_SWEEP = [1000, 5000, 20000]
+
+
+def _measure(docs, truth, n_truth, n_docs, dedup, num_hashes, bands, max_bucket):
+    t0 = time.time()
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    ).cache()
+    n_cand = cand.count()
+    wall = time.time() - t0
+    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+    cand.unpersist()
+    return {
+        "n_docs": n_docs,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows_per_band": num_hashes // bands,
+        "max_bucket": max_bucket,
+        "candidates": n_cand,
+        "truth_pairs": n_truth,
+        "recall": round(hit / max(n_truth, 1), 4),
+        "cand_per_doc": round(n_cand / n_docs, 2),
+        "sec": round(wall, 2),
+    }
+
+
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [10_000]
+    args = sys.argv[1:]
+    buckets_only = "--buckets-only" in args
+    sizes = [int(a) for a in args if not a.startswith("--")] or [10_000]
     from atsc_spark.session import get_spark
     from atsc_spark.fixtures import documents_dupheavy
     from atsc_spark.datapipe import dedup
@@ -65,26 +103,18 @@ def main() -> int:
         docs.count()
         truth = truth_pairs(spark, n_docs).cache()
         n_truth = truth.count()
-        for num_hashes, bands in CONFIGS:
-            t0 = time.time()
-            cand = dedup.minhash_lsh_candidates(
-                docs, num_hashes=num_hashes, bands=bands, max_bucket=1000
-            ).cache()
-            n_cand = cand.count()
-            wall = time.time() - t0
-            hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
-            cand.unpersist()
-            row = {
-                "n_docs": n_docs,
-                "num_hashes": num_hashes,
-                "bands": bands,
-                "rows_per_band": num_hashes // bands,
-                "candidates": n_cand,
-                "truth_pairs": n_truth,
-                "recall": round(hit / max(n_truth, 1), 4),
-                "cand_per_doc": round(n_cand / n_docs, 2),
-                "sec": round(wall, 2),
-            }
+        if not buckets_only:
+            for num_hashes, bands in CONFIGS:
+                row = _measure(
+                    docs, truth, n_truth, n_docs, dedup, num_hashes, bands, 1000
+                )
+                out.append(row)
+                print(json.dumps(row), flush=True)
+        # recall-vs-cap sweep at the tuned (32, 8) default (r7)
+        for max_bucket in BUCKET_SWEEP:
+            row = _measure(
+                docs, truth, n_truth, n_docs, dedup, 32, 8, max_bucket
+            )
             out.append(row)
             print(json.dumps(row), flush=True)
         docs.unpersist()
