@@ -1378,7 +1378,11 @@ def q_gopher_stats(spark, sf_dir):
     covered chars, dup-5/10-gram covered chars.  Integer outputs are
     the hash-portable graded form — the float fractions are just
     `numerator / chars` (see quality.repetition_stats)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())  # mirror the oracle's WHERE
+    )
     return quality.repetition_numerators(
         docs, top_ns=(2, 3, 4), dup_ns=(5, 10)
     ).drop("text")

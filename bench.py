@@ -594,10 +594,16 @@ def main() -> None:
     extras["wall_excl_dedup_clusters"] = round(
         total - timings.get("q_dedup_clusters", 0.0), 3
     )
+    # r6-comparable wall: r7 added q_gopher_filter to the timed set
+    extras["wall_r6_comparable"] = round(
+        total - timings.get("q_gopher_filter", 0.0), 3
+    )
     # r5-comparable wall: r5's wall had neither q_corpus_prep nor (in
     # r4 and earlier) q_dedup_clusters
     extras["wall_r5_comparable"] = round(
-        total - timings.get("q_corpus_prep", 0.0), 3
+        total
+        - timings.get("q_corpus_prep", 0.0)
+        - timings.get("q_gopher_filter", 0.0), 3
     )
     extras["host_probe_post"] = host_probe()
     events.unpersist()
@@ -625,6 +631,7 @@ def main() -> None:
         "sf": sf,
         "bench_repeats": repeats,
         "wall_excl_dedup_clusters": extras["wall_excl_dedup_clusters"],
+        "wall_r6_comparable": extras["wall_r6_comparable"],
         "wall_r5_comparable": extras["wall_r5_comparable"],
         "turns_per_sec": extras.get("turns_per_sec"),
         "monitoring_ratio": extras.get("monitoring_ratio"),
