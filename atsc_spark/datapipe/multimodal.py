@@ -6,15 +6,19 @@ signatures, partition sizing — is real and tested.  Decoding:
 
 - **real decoders** (pure numpy + stdlib, no external libs): binary
   PPM (P6) images, PNG (stdlib zlib inflate + numpy unfilter, all five
-  filter types, color types 0/2/3/4/6), **baseline JPEG** (r6:
-  :mod:`jpeg` — marker parse, canonical huffman, dequant, IDCT,
-  chroma upsampling, restart markers; plus an encoder for fixtures),
-  and PCM WAV (RIFF, 8/16/32-bit) audio.  These run on actual bytes
-  end-to-end.
-- PROGRESSIVE JPEG and MP4 remain STUBBED: those either raise
-  NotImplementedError (strict mode) or produce a deterministic fake
-  derived from the bytes.  Swapping in Pillow/PyAV is a one-function
-  change; nothing in the distribution shape moves.
+  filter types, color types 0/2/3/4/6), **baseline + progressive JPEG**
+  (r6/r7: :mod:`jpeg` — marker parse, canonical huffman, dequant,
+  IDCT, chroma upsampling, restart markers, SOF2 successive
+  approximation; plus an encoder for fixtures), PCM WAV (RIFF,
+  8/16/32-bit) audio, GIF (stdlib LZW), and the **MP4/ISO-BMFF
+  container layer** (r7: :mod:`mp4` — box tree, movie/track headers,
+  full sample tables, so video metadata and per-frame byte ranges /
+  timestamps are exact).  These run on actual bytes end-to-end.
+- Only CODEC BITSTREAMS without a published pure-python-tractable
+  decode remain stubbed (H.264/AAC inside MP4; arithmetic-coded
+  JPEG): strict mode raises NotImplementedError, otherwise a
+  deterministic fake derived from the bytes.  Swapping in Pillow/PyAV
+  is a one-function change; nothing in the distribution shape moves.
 
 Scale notes:
 - media blobs ride in the `content` binary column; Arrow transfers
@@ -668,15 +672,21 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: GIF payloads get a REAL decode (stdlib LZW,
     :func:`decode_gif`) — frames are selected by their cumulative
-    delays and the digest is of the actual decoded pixels.  Other
-    containers (MP4 etc.) stay on the deterministic-digest stub until
-    PyAV is available (``strict=True`` raises instead; ``None`` defers
-    to the module default, and the resolved flag is closure-captured so
-    it reaches executors).  Row explosion happens executor-side in the
-    UDF, so a long video never materializes as one driver row."""
+    delays and the digest is of the actual decoded pixels.  MP4
+    payloads get the REAL container layer (r7, :mod:`mp4`): frames are
+    selected by the sample tables' exact timestamps and the digest is
+    of the actual coded sample bytes located via stsz/stsc/stco —
+    only the codec-bitstream decode stays out of scope.  Anything else
+    stays on the deterministic-digest stub (``strict=True`` raises
+    instead; ``None`` defers to the module default, and the resolved
+    flag is closure-captured so it reaches executors).  Row explosion
+    happens executor-side in the UDF, so a long video never
+    materializes as one driver row."""
     strict_flag = _strict(strict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import mp4 as _mp4
+
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
@@ -692,6 +702,38 @@ def sample_video_frames(
                         # job — fall through to the digest stub (STRICT
                         # below surfaces the REAL cause loudly)
                         gif_err = exc
+                if not gif_ok and len(content) >= 12 and content[4:8] == b"ftyp":
+                    try:
+                        meta = _mp4.parse_mp4(content)
+                        vids = [t for t in meta["tracks"] if t["kind"] == "video"]
+                        track = vids[0] if vids else None
+                        if track and track["samples"]:
+                            ts_list = np.array(
+                                [s[0] for s in track["samples"]], dtype=np.int64
+                            )
+                            total = max(track["duration_ms"], int(ts_list[-1]) + 1)
+                            for i, ts in enumerate(range(0, total, every_ms)):
+                                fi = int(
+                                    np.searchsorted(ts_list, ts, side="right") - 1
+                                )
+                                _sts, off, size = track["samples"][fi]
+                                digest = hashlib.sha256(
+                                    content[off:off + size]
+                                ).hexdigest()[:16]
+                                rows.append(
+                                    {
+                                        "media_id": row.media_id,
+                                        "frame_idx": i,
+                                        "frame_ts_ms": ts,
+                                        "frame_sha": digest,
+                                    }
+                                )
+                            continue
+                        raise ValueError("MP4 has no video samples")
+                    except (ValueError, IndexError, struct.error) as exc:
+                        if strict_flag:
+                            raise ValueError(f"corrupt MP4 payload: {exc}") from exc
+                        # fall through to the digest stub
                 if gif_ok:
                     starts = np.concatenate(
                         [[0], np.cumsum(np.maximum(delays, 1))[:-1]]
@@ -712,7 +754,9 @@ def sample_video_frames(
                 if strict_flag:
                     if gif_err is not None:
                         raise ValueError(f"corrupt GIF payload: {gif_err}") from gif_err
-                    raise NotImplementedError("non-GIF video decoding requires PyAV")
+                    raise NotImplementedError(
+                        "non-GIF/non-MP4 video decoding requires PyAV"
+                    )
                 duration = int(row.duration_ms or 0)
                 for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
                     digest = hashlib.sha256(content + struct.pack("<I", i)).hexdigest()[:16]
@@ -729,6 +773,75 @@ def sample_video_frames(
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+VIDEO_METADATA_SCHEMA = (
+    "media_id long, brand string, container_duration_ms long, n_tracks int, "
+    "video_codec string, width int, height int, n_video_samples long, "
+    "parsed boolean"
+)
+
+
+def video_metadata(media: DataFrame, strict: bool | None = None) -> DataFrame:
+    """Typed container metadata for every video blob via the REAL ISO
+    BMFF layer (:mod:`mp4`, r7): brand, duration, first video track's
+    codec fourcc / dimensions / exact sample count.  Non-MP4 or
+    corrupt blobs yield ``parsed=false`` with nulls (strict raises),
+    so a corpus job can quantify its undecodable tail instead of
+    dying on it.  One mapInPandas projection — no shuffle, and only
+    headers/sample tables are touched (mdat is never copied), so cost
+    is per-blob metadata size, not video size."""
+    strict_flag = _strict(strict)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import mp4 as _mp4
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                base = {
+                    "media_id": row.media_id,
+                    "brand": None,
+                    "container_duration_ms": None,
+                    "n_tracks": None,
+                    "video_codec": None,
+                    "width": None,
+                    "height": None,
+                    "n_video_samples": None,
+                    "parsed": False,
+                }
+                try:
+                    meta = _mp4.parse_mp4(content)
+                    vids = [t for t in meta["tracks"] if t["kind"] == "video"]
+                    base.update(
+                        brand=meta["brand"],
+                        container_duration_ms=meta["duration_ms"],
+                        n_tracks=len(meta["tracks"]),
+                        parsed=True,
+                    )
+                    if vids:
+                        base.update(
+                            video_codec=vids[0]["codec"],
+                            width=vids[0]["width"],
+                            height=vids[0]["height"],
+                            n_video_samples=vids[0]["n_samples"],
+                        )
+                except (ValueError, IndexError, struct.error) as exc:
+                    if strict_flag:
+                        raise ValueError(f"unparseable video payload: {exc}") from exc
+                rows.append(base)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "brand", "container_duration_ms", "n_tracks",
+                    "video_codec", "width", "height", "n_video_samples", "parsed",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, VIDEO_METADATA_SCHEMA
+    )
 
 
 def media_repartition(media: DataFrame, target_bytes_per_task: int = 128 << 20) -> DataFrame:
@@ -762,9 +875,12 @@ def media_repartition(media: DataFrame, target_bytes_per_task: int = 128 << 20) 
 
 def synthetic_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests (no external data): images
-    are REAL binary PPM blobs, audio REAL 16-bit PCM WAV blobs (both
-    decode through the real numpy paths); video stays opaque bytes for
-    the stubbed frame sampler."""
+    are REAL binary PPM/PNG blobs, audio REAL 16-bit PCM WAV blobs,
+    and video alternates REAL minimal MP4 containers (exact sample
+    tables, opaque coded bytes — :mod:`mp4`) with opaque bytes for the
+    digest-stub path."""
+    from . import mp4 as _mp4
+
     rows = []
     rng = np.random.default_rng(seed)
     for i in range(n):
@@ -780,7 +896,13 @@ def synthetic_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
                 content, mime = encode_ppm(px), "image/x-portable-pixmap"
         elif kind == "audio":
             content = encode_wav(rng.uniform(-0.8, 0.8, size=int(rng.integers(256, 4096))))
-        else:
+        mp4_ms = None
+        if kind == "video" and i % 2 == 1:  # real MP4 (coded bytes opaque)
+            n_frames = int(rng.integers(4, 16))
+            fps = int(rng.integers(2, 8))
+            content = _mp4.build_mp4(width=w, height=h, n_frames=n_frames, fps=fps)
+            mp4_ms = n_frames * 1000 // fps  # duration column matches container
+        elif kind == "video":
             content = bytes(
                 rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8)
             )
@@ -791,7 +913,9 @@ def synthetic_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
                 mime,
                 w,
                 h,
-                int(rng.integers(1000, 10000)) if kind != "image" else 0,
+                (mp4_ms if mp4_ms is not None else int(rng.integers(1000, 10000)))
+                if kind != "image"
+                else 0,
                 content,
             )
         )

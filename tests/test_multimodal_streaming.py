@@ -476,7 +476,9 @@ def test_strict_per_call_overrides_module_global(spark):
             "media_id long, kind string, content binary, duration_ms long",
         )
         assert mm.sample_video_frames(vmedia, every_ms=100, strict=False).count() == 3
-        with pytest.raises(Exception, match="PyAV"):
+        # r7: a truncated ftyp blob now fails in the REAL container
+        # parser (corrupt MP4), not the PyAV stub gate
+        with pytest.raises(Exception, match="corrupt MP4"):
             mm.sample_video_frames(vmedia, every_ms=100, strict=True).collect()
     finally:
         mm.STRICT = old
@@ -565,3 +567,84 @@ def test_gif_gce_state_does_not_leak_across_frames():
 
     frames, _ = decode_gif(bytes(blob))
     assert np.array_equal(frames[1], f2), "stale transparency leaked into frame 2"
+
+
+# ------------------------------------------ MP4 container layer (r7)
+
+
+def test_mp4_parse_roundtrip_exact():
+    """The fixture builder's sample tables decode back exactly: every
+    coded sample's byte range hashes to the payload that went in, and
+    timestamps follow the stts grid."""
+    from atsc_spark.datapipe import mp4
+
+    payloads = [bytes([(i * 31 + j) % 256 for j in range(30 + i * 7)]) for i in range(9)]
+    blob = mp4.build_mp4(
+        width=80, height=60, n_frames=9, fps=3,
+        frame_payloads=payloads, samples_per_chunk=4,
+    )
+    meta = mp4.parse_mp4(blob)
+    assert meta["brand"] == "isom"
+    assert meta["duration_ms"] == 3000
+    (t,) = meta["tracks"]
+    assert (t["kind"], t["codec"], t["width"], t["height"], t["n_samples"]) == (
+        "video", "avc1", 80, 60, 9,
+    )
+    for i, (ts, off, size) in enumerate(t["samples"]):
+        assert ts == i * 1000 // 3
+        assert blob[off:off + size] == payloads[i]
+
+
+def test_mp4_parse_rejects_corrupt():
+    from atsc_spark.datapipe import mp4
+
+    good = mp4.build_mp4(n_frames=4, fps=2)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(b"not an mp4 at all")
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(good[:40])          # moov cut off
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(good[8:])           # no ftyp
+
+
+def test_video_metadata_operator(spark):
+    """Real MP4 rows parse (codec/dims/sample count exact); opaque
+    blobs yield parsed=false with nulls instead of dying — and in
+    strict mode they raise."""
+    media = mm.synthetic_media(spark, n=30)
+    meta = mm.video_metadata(media).orderBy("media_id").toPandas()
+    vids = media.filter("kind = 'video'").count()
+    assert len(meta) == vids
+    parsed = meta[meta.parsed]
+    unparsed = meta[~meta.parsed]
+    assert len(parsed) > 0 and len(unparsed) > 0
+    assert (parsed.video_codec == "avc1").all()
+    assert (parsed.n_video_samples > 0).all()
+    assert unparsed.brand.isna().all()
+    with pytest.raises(Exception, match="unparseable"):
+        mm.video_metadata(media, strict=True).collect()
+
+
+def test_sample_video_frames_real_mp4(spark):
+    """MP4 frame sampling uses the REAL sample tables: frame_sha is
+    the hash of the actual coded sample bytes at the sampled
+    timestamp (verified against a hand-computed expectation)."""
+    import hashlib as hl
+
+    from atsc_spark.datapipe import mp4
+
+    payloads = [bytes([i] * 50) for i in range(6)]
+    blob = mp4.build_mp4(n_frames=6, fps=2, frame_payloads=payloads)  # 500ms/frame
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(blob), 3000)],
+        "media_id long, kind string, content binary, duration_ms long",
+    )
+    out = (
+        mm.sample_video_frames(media, every_ms=1000, strict=True)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    # duration 3000ms, every 1000ms -> ts 0/1000/2000 -> samples 0/2/4
+    assert [r.frame_ts_ms for r in out] == [0, 1000, 2000]
+    want = [hl.sha256(payloads[i]).hexdigest()[:16] for i in (0, 2, 4)]
+    assert [r.frame_sha for r in out] == want
