@@ -262,3 +262,46 @@ def test_repetition_numerators_consistent_with_fractions(spark):
             assert n[f"dup_{nn}gram_chars"] / n["chars"] == pytest.approx(
                 f[f"dup_{nn}gram_char_frac"], abs=0
             )
+
+
+def test_gopher_numerators_cross_engine_adversarial(spark):
+    """The driver-graded gopher_stats pair on an ADVERSARIAL corpus:
+    Spark's Arrow numerator kernel vs the DuckDB oracle SQL running on
+    the same rows — pins the split/length/tie-break semantics the
+    sf-table MATCHes can't probe (trailing separators, empty tokens,
+    unicode incl. non-BMP, count ties, huge repetition)."""
+    import duckdb
+    import pandas as pd
+
+    from atsc_spark.queries import _gopher_stats_sql
+
+    texts = [
+        "spam spam spam spam spam spam",
+        "a b a b a b a b",
+        "x y\nx y\nx y\nz",
+        "",
+        "one",
+        "a  b   c",                        # empty tokens (double spaces)
+        "tail space ",                     # trailing separator
+        "\nleading newline",
+        "p q r\n\np q r\n\ns",             # duplicate paragraphs
+        "tie a tie a tie b tie b",         # 2-gram count tie
+        "über café über café naïve",
+        "emoji \U0001f389 emoji \U0001f389 end",   # non-BMP length
+        ("lorem ipsum dolor sit amet " * 40).strip(),
+        "w " * 300 + "w",                  # ZRL-scale zero runs / long doc
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        quality.repetition_numerators(df, top_ns=(2, 3, 4), dup_ns=(5, 10))
+        .drop("text")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(_gopher_stats_sql()).df()
+    cols = sorted(got.columns)
+    got = got.sort_values("doc_id").reset_index(drop=True)[cols].astype("int64")
+    want = want.sort_values("doc_id").reset_index(drop=True)[cols].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
