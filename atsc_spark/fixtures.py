@@ -243,6 +243,41 @@ def documents_dupheavy(
     )
 
 
+def spammy_documents(
+    spark: SparkSession, n_docs: int = 500, start_id: int = 10_000_000
+) -> DataFrame:
+    """Documents GUARANTEED to fail Gopher repetition thresholds, for
+    benching/testing that the filter actually drops rows (the
+    dup-heavy corpus never trips any threshold — its repetition is
+    ACROSS documents, which is dedup's job, not within them).  Kept a
+    SEPARATE fixture unioned in at call sites so the dup-heavy
+    corpus' dedup/LSH/span trend lines stay untouched (the lesson of
+    the r6 plant_pii discontinuity, ADVICE r6).  Three failure
+    shapes, JVM-side:
+
+    - id%3==0: one 2-gram repeated wall-to-wall (top_2gram_char_frac
+      ~1 >> 0.20);
+    - id%3==1: one line duplicated 40x (dup_line_frac ~0.97 >> 0.30);
+    - id%3==2: a 6-token sentence repeated 30x (dup_5gram+ fracs
+      ~1 >> 0.10-0.15).
+    """
+    mod = F.pmod(F.col("id"), F.lit(3))
+    uniq = F.col("id").cast("string")  # keeps docs distinct for dedup
+    text = (
+        F.when(mod == 0, F.concat(F.lit(("buy now " * 60).strip() + " offer "), uniq))
+        .when(mod == 1, F.concat(F.lit("identical spam line\n" * 40), F.lit("end "), uniq))
+        .otherwise(
+            F.concat(
+                F.lit(("click here to claim your free prize " * 30).strip() + " ref "),
+                uniq,
+            )
+        )
+    )
+    return spark.range(start_id, start_id + n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
 def hot_transcripts(
     spark: SparkSession,
     n_convs: int = 64,

@@ -512,20 +512,34 @@ def main() -> None:
     # mapInPandas/numpy batch rewrite runs ~100k docs/s warm (23x the
     # r6 interpreted-HOF path's 4.5k), so it now joins the wall on the
     # full prep corpus.  Budget: <= 2 s at sf0.1 (100k docs; measured
-    # ~1.0 s warm).  Zero-shuffle, one Arrow exchange.
+    # ~1.0 s warm).  Zero-shuffle, one Arrow exchange.  The corpus is
+    # prep + 500 guaranteed-spammy docs (separate fixture — the
+    # dup-heavy corpus' repetition is cross-document, dedup's job) so
+    # the benched filter demonstrably DROPS rows, asserted below.
     from atsc_spark.datapipe import quality as _quality
+    from atsc_spark.fixtures import spammy_documents
 
-    gopher_stats = {"n_docs": prep_n}
+    n_spam = 500
+    gopher_corpus = prep_corpus.select("doc_id", "text").unionByName(
+        spammy_documents(spark, n_spam)
+    ).cache()
+    gopher_corpus.count()
+    gopher_stats = {"n_docs": prep_n + n_spam, "n_spam_planted": n_spam}
 
     def run_gopher():
-        kept_q = _quality.gopher_repetition_filter(prep_corpus).count()
+        kept_q = _quality.gopher_repetition_filter(gopher_corpus).count()
         gopher_stats["kept"] = int(kept_q)
 
     timed("q_gopher_filter", run_gopher)
+    gopher_stats["dropped"] = prep_n + n_spam - gopher_stats["kept"]
+    # exactly the planted spam: the dup-heavy corpus' docs never trip
+    # a threshold (their repetition is cross-document)
+    assert gopher_stats["dropped"] == n_spam, gopher_stats
     gopher_stats["docs_per_sec"] = round(
-        prep_n / max(timings["q_gopher_filter"], 1e-9), 1
+        (prep_n + n_spam) / max(timings["q_gopher_filter"], 1e-9), 1
     )
     extras["gopher_filter"] = gopher_stats
+    gopher_corpus.unpersist()
     # the no-Python JVM-HOF path, kept as the r5/r6 trend point (same
     # 20k-doc shape as BENCH_r06's untimed extra)
     gopher_n = min(prep_n, 20_000)

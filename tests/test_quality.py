@@ -305,3 +305,16 @@ def test_gopher_numerators_cross_engine_adversarial(spark):
     got = got.sort_values("doc_id").reset_index(drop=True)[cols].astype("int64")
     want = want.sort_values("doc_id").reset_index(drop=True)[cols].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("impl", ["sql", "arrow"])
+def test_spammy_documents_all_dropped_dupheavy_all_kept(spark, impl):
+    """The bench's drop assertion, pinned as a test: every
+    spammy_documents row fails a Gopher threshold under BOTH impls;
+    the dup-heavy corpus (cross-document repetition only) never does."""
+    from atsc_spark.fixtures import documents_dupheavy, spammy_documents
+
+    spam = spammy_documents(spark, 60)
+    assert quality.gopher_repetition_filter(spam, impl=impl).count() == 0
+    base = documents_dupheavy(spark, 300)
+    assert quality.gopher_repetition_filter(base, impl=impl).count() == 300
