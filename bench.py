@@ -604,6 +604,70 @@ def main() -> None:
     finally:
         _sh.rmtree(_cagg_dir, ignore_errors=True)
 
+    # storage-bucketing payoff, measured (untimed extra, r7): the same
+    # series<->frames join on (conv_id, metric) over plain vs
+    # same-bucketed tables.  The write cost is reported alongside —
+    # bucketing is a pay-once-at-write lever, so the honest comparison
+    # is (bucketed join) vs (plain join) with (write premium) visible.
+    from atsc_spark import bucketing as _bk
+    from atsc_spark.frames import fit_frames as _ff
+    from atsc_spark.series import derive_series as _ds
+
+    _bk_dir = _tf.mkdtemp(prefix="bench_bucketed_")
+    _old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        _t = transcripts(spark, n_convs=2_000, window_days=7)
+        _ser = _ds(_t, include_global=False)
+        _frm = _ff(_ser, max_error=0.03).select(
+            "conv_id", "metric", "frame_idx", "compressor", "sample_count"
+        )
+        _keys = ["conv_id", "metric"]
+        # broadcast disabled for BOTH joins: at bench scale the frames
+        # side fits the 10 MB broadcast threshold and both variants
+        # would plan BroadcastHashJoin, hiding the lever — the regime
+        # bucketing exists for is two BIG tables, where SMJ + its two
+        # Exchanges is the plan either way
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # both variants read FROM DISK: plain parquet vs bucketed
+        # tables of the same rows (else the plain side would also pay
+        # derive+fit recomputation and flatter the comparison)
+        t0 = time.time()
+        _ser.write.mode("overwrite").parquet(f"{_bk_dir}/ps")
+        _frm.write.mode("overwrite").parquet(f"{_bk_dir}/pf")
+        plain_w_sec = time.time() - t0
+        t0 = time.time()
+        _bk.write_bucketed(_ser, "bench_bser", f"{_bk_dir}/s", _keys, n_buckets=32)
+        _bk.write_bucketed(_frm, "bench_bfrm", f"{_bk_dir}/f", _keys, n_buckets=32)
+        w_sec = time.time() - t0
+        t0 = time.time()
+        plain = (
+            spark.read.parquet(f"{_bk_dir}/ps")
+            .join(spark.read.parquet(f"{_bk_dir}/pf"), _keys)
+            .count()
+        )
+        plain_sec = time.time() - t0
+        t0 = time.time()
+        bucketed = (
+            _bk.read_table(spark, "bench_bser")
+            .join(_bk.read_table(spark, "bench_bfrm"), _keys)
+            .count()
+        )
+        bk_sec = time.time() - t0
+        assert bucketed == plain
+        extras["bucketed_join"] = {
+            "rows": int(plain),
+            "plain_join_sec": round(plain_sec, 3),
+            "bucketed_join_sec": round(bk_sec, 3),
+            "plain_write_sec": round(plain_w_sec, 3),
+            "bucketed_write_sec": round(w_sec, 3),
+            "join_speedup": round(plain_sec / max(bk_sec, 1e-9), 2),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _old_bc)
+        _bk.drop_table(spark, "bench_bser")
+        _bk.drop_table(spark, "bench_bfrm")
+        _sh.rmtree(_bk_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     extras["wall_excl_dedup_clusters"] = round(
         total - timings.get("q_dedup_clusters", 0.0), 3
