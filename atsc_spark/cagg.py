@@ -110,13 +110,47 @@ class ContinuousRollups:
         return {r["day"]: r["fingerprint"] for r in rows}
 
     def _record_fingerprints(self, fps: dict[date, str]) -> None:
+        """Append one small parquet file to the state log.  Written
+        DRIVER-SIDE with pyarrow (tmp file + atomic rename): the log
+        is a few dozen rows, and routing it through a Spark write job
+        cost 5.8 s of the measured 13 s one-day refresh floor (r7
+        profile) — pure job-scheduling overhead for a ~1 KB append.
+        Spark reads the file back fine (same parquet, explicit
+        schema).  Non-local stores (a real hdfs://-style URI) keep the
+        Spark writer — the atomic-rename trick is a local-FS
+        property."""
         if not fps:
             return
-        df = self.spark.createDataFrame(
-            [(d.isoformat(), fp) for d, fp in fps.items()],
-            "day string, fingerprint string",
-        ).withColumn("updated_at", F.current_timestamp())
-        df.coalesce(1).write.mode("append").parquet(f"{self.base}/_state")
+        path = f"{self.base}/_state"
+        if "://" in path and not path.startswith("file:"):
+            df = self.spark.createDataFrame(
+                [(d.isoformat(), fp) for d, fp in fps.items()],
+                "day string, fingerprint string",
+            ).withColumn("updated_at", F.current_timestamp())
+            df.coalesce(1).write.mode("append").parquet(path)
+            return
+        import os
+        import uuid
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        local = path[7:] if path.startswith("file://") else path
+        os.makedirs(local, exist_ok=True)
+        now = datetime.now(timezone.utc)
+        tbl = pa.table(
+            {
+                "day": pa.array([d.isoformat() for d in fps], pa.string()),
+                "fingerprint": pa.array(list(fps.values()), pa.string()),
+                "updated_at": pa.array(
+                    [now] * len(fps), pa.timestamp("us", tz="UTC")
+                ),
+            }
+        )
+        tmp = os.path.join(local, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(local, f"fp-{uuid.uuid4().hex}.parquet"))
 
     def _dirty_map(self) -> dict[date, str]:
         """{dirty day: its CURRENT fingerprint} — computed once so the

@@ -84,27 +84,66 @@ class CheckpointLog:
         return (row.a or 0) + 1
 
     def record(self, rows: list[dict]) -> None:
+        """Append lineage rows.  Local stores write DRIVER-SIDE with
+        pyarrow (tmp + atomic rename; same r7 rationale as the cagg
+        fingerprint log — a Spark write job costs ~1 s of scheduling
+        overhead for a few-KB append, which at one append per stage
+        per refresh dominates the incremental-refresh floor).  Remote
+        URIs keep the Spark writer."""
         if not rows:
             return
-        df = self.spark.createDataFrame(
-            [
-                (
-                    r["stage"],
-                    r["partition_key"],
-                    r.get("status", "done"),
-                    int(r.get("rows_in", 0)),
-                    int(r.get("rows_out", 0)),
-                    int(r.get("bytes_out", 0)),
-                    float(r["max_err"]) if r.get("max_err") is not None else None,
-                    int(r.get("wall_ms", 0)),
-                    int(r.get("attempt", 1)),
-                    r.get("updated_at"),
-                )
-                for r in rows
-            ],
-            LINEAGE_SCHEMA,
-        ).withColumn("updated_at", F.coalesce("updated_at", F.current_timestamp()))
-        df.write.mode("append").parquet(self.path)
+        norm = [
+            (
+                r["stage"],
+                r["partition_key"],
+                r.get("status", "done"),
+                int(r.get("rows_in", 0)),
+                int(r.get("rows_out", 0)),
+                int(r.get("bytes_out", 0)),
+                float(r["max_err"]) if r.get("max_err") is not None else None,
+                int(r.get("wall_ms", 0)),
+                int(r.get("attempt", 1)),
+                r.get("updated_at"),
+            )
+            for r in rows
+        ]
+        if "://" in self.path and not self.path.startswith("file:"):
+            df = self.spark.createDataFrame(norm, LINEAGE_SCHEMA).withColumn(
+                "updated_at", F.coalesce("updated_at", F.current_timestamp())
+            )
+            df.write.mode("append").parquet(self.path)
+            return
+        import os
+        import uuid
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now = datetime.now(timezone.utc)
+        local = self.path[7:] if self.path.startswith("file://") else self.path
+        os.makedirs(local, exist_ok=True)
+        cols = list(zip(*norm))
+        tbl = pa.table(
+            {
+                "stage": pa.array(cols[0], pa.string()),
+                "partition_key": pa.array(cols[1], pa.string()),
+                "status": pa.array(cols[2], pa.string()),
+                "rows_in": pa.array(cols[3], pa.int64()),
+                "rows_out": pa.array(cols[4], pa.int64()),
+                "bytes_out": pa.array(cols[5], pa.int64()),
+                "max_err": pa.array(cols[6], pa.float64()),
+                "wall_ms": pa.array(cols[7], pa.int64()),
+                "attempt": pa.array(cols[8], pa.int32()),
+                "updated_at": pa.array(
+                    [u if u is not None else now for u in cols[9]],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            }
+        )
+        tmp = os.path.join(local, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(local, f"lin-{uuid.uuid4().hex}.parquet"))
 
 
 def run_stage(
