@@ -444,3 +444,35 @@ def test_bulk_tier_listing_matches_per_day(spark, cagg_series, tmp_path):
     by_tier = cagg._bulk_listing()
     for day in list(bulk)[:3]:
         assert cagg._day_fingerprint(day, by_tier) == cagg._day_fingerprint(day)
+
+
+def test_state_log_mixed_spark_and_pyarrow_files(spark, cagg_series, tmp_path):
+    """Upgrade path for the r7 driver-side log appends: a store whose
+    state log was written by the OLD Spark writer keeps working when
+    the new pyarrow writer appends into the same directory — the read
+    path must consume a MIX of both file vintages (and the lineage log
+    likewise)."""
+    store = TieredStore(
+        spark,
+        str(tmp_path / "store"),
+        TierPolicy(t0_days=10000, t1_days=20000, t2_days=30000, t3_days=40000),
+    )
+    store.write_raw(cagg_series)
+    cagg = ContinuousRollups(spark, store)
+    # simulate an r6-era log: one Spark-written append
+    old = spark.createDataFrame(
+        [("1999-01-01", "stale-fp")], "day string, fingerprint string"
+    ).withColumn("updated_at", F.current_timestamp())
+    old.coalesce(1).write.mode("append").parquet(f"{cagg.base}/_state")
+    # the new writer appends pyarrow files next to it
+    refreshed = cagg.refresh()
+    assert refreshed  # all real days were dirty
+    rec = cagg._recorded_fingerprints()
+    # the Spark-written stale row WAS read: the refresh saw the
+    # recorded-but-absent 1999 day and re-marked it EMPTY (the
+    # aged-away handling) — it could only know about that day from
+    # the old-format file
+    assert rec.get("1999-01-01") == "EMPTY"
+    assert all(iso in rec for iso in refreshed)
+    # nothing dirty on a second pass: the mixed log read back exactly
+    assert cagg.refresh() == []
