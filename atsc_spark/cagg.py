@@ -122,7 +122,12 @@ class ContinuousRollups:
         if not fps:
             return
         path = f"{self.base}/_state"
-        if "://" in path and not path.startswith("file:"):
+        # driver-side pyarrow only when the path is local AND the
+        # session itself is local-mode: on a cluster a scheme-less path
+        # resolves against the session's default Hadoop FS, which need
+        # not be the driver's local filesystem
+        local_session = self.spark.sparkContext.master.startswith("local")
+        if ("://" in path and not path.startswith("file:")) or not local_session:
             df = self.spark.createDataFrame(
                 [(d.isoformat(), fp) for d, fp in fps.items()],
                 "day string, fingerprint string",

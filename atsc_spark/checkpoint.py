@@ -107,7 +107,11 @@ class CheckpointLog:
             )
             for r in rows
         ]
-        if "://" in self.path and not self.path.startswith("file:"):
+        # same gate as cagg._record_fingerprints: driver-side pyarrow
+        # needs BOTH a local path and a local-mode session (elsewhere a
+        # scheme-less path resolves against the session's Hadoop FS)
+        local_session = self.spark.sparkContext.master.startswith("local")
+        if ("://" in self.path and not self.path.startswith("file:")) or not local_session:
             df = self.spark.createDataFrame(norm, LINEAGE_SCHEMA).withColumn(
                 "updated_at", F.coalesce("updated_at", F.current_timestamp())
             )

@@ -224,10 +224,12 @@ class _BitReader:
         """Byte-align and consume an RSTn marker."""
         self.bitbuf = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
-            self.pos += 1
+        while True:
             if self.pos + 1 >= len(self.data):
                 raise ValueError("truncated JPEG: expected restart marker")
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                break
+            self.pos += 1
         self.pos += 2
 
 

@@ -111,6 +111,13 @@ def _parse_stts(data: bytes, s: int, e: int) -> list[tuple[int, int]]:
 def _parse_stsz(data: bytes, s: int, e: int) -> tuple[int, list[int]]:
     fixed, count = struct.unpack(">II", data[s + 4:s + 12])
     if fixed:
+        # sanity-bound the expansion: the samples must fit inside the
+        # file, so a crafted header claiming ~2^32 samples fails fast
+        # like any other malformed box instead of allocating GBs
+        if count * fixed > len(data):
+            raise ValueError(
+                f"stsz: {count} samples x {fixed} B exceed file size {len(data)}"
+            )
         return count, [fixed] * count
     sizes = list(
         struct.unpack(f">{count}I", data[s + 12:s + 12 + 4 * count])

@@ -713,8 +713,13 @@ def sample_video_frames(
                             )
                             total = max(track["duration_ms"], int(ts_list[-1]) + 1)
                             for i, ts in enumerate(range(0, total, every_ms)):
-                                fi = int(
-                                    np.searchsorted(ts_list, ts, side="right") - 1
+                                # clamp: a track not starting at tick 0
+                                # would otherwise negative-index to the
+                                # LAST sample for the earliest frames
+                                fi = max(
+                                    int(np.searchsorted(ts_list, ts, side="right"))
+                                    - 1,
+                                    0,
                                 )
                                 _sts, off, size = track["samples"][fi]
                                 digest = hashlib.sha256(
