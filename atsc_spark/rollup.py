@@ -50,29 +50,83 @@ def rollup(series: DataFrame, interval: str = "1 minute") -> DataFrame:
     )
 
 
+_INTERVAL_UNIT_S = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _interval_seconds(interval: str) -> int | None:
+    """Whole-second length of a simple interval string ('1 hour',
+    '5 minutes', 'day'); None when it doesn't parse to whole seconds
+    (callers then fall back to ``F.window``)."""
+    parts = interval.strip().lower().split()
+    if len(parts) == 1:
+        parts = ["1", parts[0]]
+    if len(parts) != 2 or not parts[0].isdigit():
+        return None
+    unit = parts[1].rstrip("s")
+    if unit not in _INTERVAL_UNIT_S:
+        return None
+    return int(parts[0]) * _INTERVAL_UNIT_S[unit]
+
+
+def _bucket_floor(col, interval_s: int, dtype: str):
+    """Tumbling-window start as plain epoch arithmetic:
+    ``floor(epoch_s / interval) * interval``, cast back to the input's
+    timestamp dtype — value-identical to ``window(col, interval).start``
+    for whole-second timestamps under the engine's UTC session contract
+    (session.py pins spark.sql.session.timeZone=UTC).
+
+    Exists for plan health, not convenience: chaining ``F.window`` over
+    a previous window's ``start`` makes Catalyst push each level's
+    derived ``isnotnull(window_expr)`` filter down through the
+    aggregates below it, substituting the whole nested window
+    expression — by the third cascade level the pushed filter is a
+    multi-MB expression tree evaluated per INPUT row (measured: the
+    1m->1h->1d cascade at sf1.0 spent 5 of its 6.1 s there; with the
+    arithmetic bucket the same cascade runs the 1h/1d steps in ~0.2 s).
+    ``floor(x / i) * i`` references the child once, so the pushed
+    predicate grows linearly in cascade depth instead.
+    """
+    sec = col.cast("timestamp").cast("long")
+    start = (F.floor(sec / F.lit(float(interval_s))) * interval_s).cast("long")
+    return F.timestamp_seconds(start).cast(dtype)
+
+
 def rollup_cascade_step(finer: DataFrame, interval: str) -> DataFrame:
     """Re-aggregate an existing rollup into a coarser one.
 
     sum-of-sums / sum-of-counts / min-of-mins / max-of-maxes — exactly
     equal to aggregating the raw series at the coarser interval.
+
+    The coarser bucket is computed with :func:`_bucket_floor` (epoch
+    arithmetic, see there for the window-over-window pushdown blowup it
+    avoids); ``F.window`` remains as the fallback for interval strings
+    that don't parse to whole seconds.  Null buckets are filtered
+    explicitly, matching ``F.window``'s null-drop semantics.
     """
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    ]
+    tail = ["cnt", "sum", "min", "max", F.expr("try_divide(sum, cnt)").alias("avg")]
+    secs = _interval_seconds(interval)
+    if secs is None:  # fallback: the original window formulation
+        return (
+            finer.groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
+            .agg(*aggs)
+            .select(*KEYS, F.col("w.start").alias("bucket_ts"), *tail)
+        )
+    dtype = dict(finer.dtypes).get("bucket_ts", "timestamp")
     return (
-        finer.groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum").alias("sum"),
-            F.min("min").alias("min"),
-            F.max("max").alias("max"),
+        finer.where(F.col("bucket_ts").isNotNull())
+        .groupBy(
+            *KEYS, _bucket_floor(F.col("bucket_ts"), secs, dtype).alias("bucket_ts")
         )
-        .select(
-            *KEYS,
-            F.col("w.start").alias("bucket_ts"),
-            "cnt",
-            "sum",
-            "min",
-            "max",
-            F.expr("try_divide(sum, cnt)").alias("avg"),
-        )
+        .agg(*aggs)
+        .select(*KEYS, "bucket_ts", *tail)
     )
 
 
@@ -298,7 +352,32 @@ def histogram_rollup(
 
 def histogram_merge(hists: DataFrame, interval: str) -> DataFrame:
     """Roll a histogram aggregate up to a coarser interval: elementwise
-    array sum (zip_with) — the compose step of the cascade."""
+    array sum (zip_with) — the compose step of the cascade.
+
+    Same :func:`_bucket_floor` bucket as :func:`rollup_cascade_step`
+    (the input's ``bucket_ts`` is itself a window start, and chained
+    ``F.window`` pushes the nested expression down per level)."""
+    secs = _interval_seconds(interval)
+    if secs is not None:
+        dtype = dict(hists.dtypes).get("bucket_ts", "timestamp")
+        return (
+            hists.where(F.col("bucket_ts").isNotNull())
+            .groupBy(
+                *KEYS,
+                _bucket_floor(F.col("bucket_ts"), secs, dtype).alias("bucket_ts"),
+            )
+            .agg(
+                F.aggregate(
+                    F.collect_list("hist"),
+                    F.expr("cast(array() as array<bigint>)"),
+                    lambda acc, h: F.when(F.size(acc) == 0, h).otherwise(
+                        F.zip_with(acc, h, lambda a, b: a + b)
+                    ),
+                ).alias("hist"),
+                F.sum("n").cast("long").alias("n"),
+            )
+            .select(*KEYS, "bucket_ts", "hist", "n")
+        )
     return (
         hists.groupBy(*KEYS, F.window("bucket_ts", interval).alias("w"))
         .agg(
