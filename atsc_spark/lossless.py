@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .core.gorilla import gorilla_decode, gorilla_encode
-from .frames import decode_granularity, grouped_points, make_grouped_fit_fn
+from .frames import (
+    decode_granularity,
+    fit_task_count,
+    grouped_points,
+    make_grouped_fit_fn,
+)
 
 BLOCK_SCHEMA = (
     "conv_id string, metric string, day date, sample_count int, "
@@ -52,7 +57,7 @@ def _fit_block(conv_id, metric, day, values: np.ndarray, ts: np.ndarray, rows: l
 def fit_lossless(series: DataFrame, num_tasks: int | None = None) -> DataFrame:
     """series (conv_id, metric, bucket_ts, value) -> gorilla blocks."""
     if num_tasks is None:
-        num_tasks = series.sparkSession.sparkContext.defaultParallelism * 8
+        num_tasks = fit_task_count(series.sparkSession)
     fit = make_grouped_fit_fn(_fit_block, _BLOCK_COLS)
     return grouped_points(series, num_tasks).mapInPandas(fit, BLOCK_SCHEMA)
 
