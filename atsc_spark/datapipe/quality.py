@@ -204,20 +204,14 @@ def _numerator_names(
     return names
 
 
-def _batch_repetition_metrics(
-    texts: list[str], top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
-) -> np.ndarray:
-    """All repetition metrics for a BATCH of documents at once —
-    shape (len(texts), len(_metric_names())), :func:`_metric_names`
-    order.  Thin normalization over the exact integer numerators of
-    :func:`_batch_repetition_numerators` (int64 accumulation matches
-    the SQL fold's LONG accumulator; the divisions of exactly-
-    represented integers are the only float ops)."""
-    D = len(texts)
-    out = np.zeros((D, len(_metric_names(top_ns, dup_ns))), dtype=np.float64)
+def _metrics_from_numerators(num: np.ndarray, chars_i: np.ndarray) -> np.ndarray:
+    """Normalize exact int64 numerators to the float metrics (the
+    divisions of exactly-represented integers are the only float
+    ops)."""
+    D = len(chars_i)
+    out = np.zeros((D, num.shape[1] - 2), dtype=np.float64)
     if D == 0:
         return out
-    num, chars_i = _batch_repetition_numerators(texts, top_ns, dup_ns)
     chars = chars_i.astype(np.float64)
     for u in range(2):  # line, para
         n_units = num[:, 3 * u]
@@ -228,70 +222,111 @@ def _batch_repetition_metrics(
     return out
 
 
+def _batch_repetition_metrics(
+    texts: list[str], top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> np.ndarray:
+    """All repetition metrics for a BATCH of documents at once —
+    shape (len(texts), len(_metric_names())), :func:`_metric_names`
+    order.  Thin normalization over the exact integer numerators of
+    :func:`_batch_repetition_numerators` (int64 accumulation matches
+    the SQL fold's LONG accumulator)."""
+    if len(texts) == 0:
+        return np.zeros((0, len(_metric_names(top_ns, dup_ns))), dtype=np.float64)
+    num, chars_i = _batch_repetition_numerators(texts, top_ns, dup_ns)
+    return _metrics_from_numerators(num, chars_i)
+
+
 def _batch_repetition_numerators(
     texts: list[str], top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact int64 repetition NUMERATORS for a batch — ``(num, chars)``
-    with ``num`` shaped (len(texts), len(_numerator_names())) in
-    :func:`_numerator_names` order and ``chars = max(len(text), 1)``.
-    C-speed throughout:
+    """List-of-str front door for :func:`_arrow_batch_numerators`
+    (tests and non-Arrow callers)."""
+    import pyarrow as pa
 
-    - every token/line/paragraph in the batch is integer-coded by ONE
-      hash-based ``pd.factorize`` per unit kind;
+    return _arrow_batch_numerators(pa.array(texts, type=pa.string()), top_ns, dup_ns)
+
+
+def _arrow_batch_numerators(
+    text, top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 repetition NUMERATORS for a NON-NULL Arrow string
+    array — ``(num, chars)`` with ``num`` shaped
+    (len(text), len(_numerator_names())) in :func:`_numerator_names`
+    order and ``chars = max(utf8_length(text), 1)``.  C-speed
+    throughout, and — the round-8 rewrite — ZERO Python string objects
+    on the hot path:
+
+    - splitting into lines/paragraphs/tokens is ``pc.split_pattern``
+      over the Arrow array (offsets arithmetic on one contiguous
+      buffer, no per-row Python);
+    - every unit is integer-coded by ``pc.dictionary_encode`` (C hash
+      table) and lengths come from ``pc.utf8_length`` — code-point
+      semantics identical to Python ``len``;
     - word n-grams are id-coded by ITERATIVE PAIR ENCODING (the
       suffix-array doubling trick, one step per n): the id of an
-      n-gram at position i is ``unique(gid_{n-1}[i] * U + id[i+n-1])``
-      — so each n costs two int64 ``np.unique`` calls over the whole
-      batch, never a per-document call and never a materialized
-      n-gram string;
-    - per-(doc, gram) counts come from ``unique(doc * G + gid)`` with
-      doc-major keys, so per-doc reductions are contiguous-segment
-      ``bincount``/``reduceat`` ops;
+      n-gram at position i derives from ``(gid_{n-1}[i], id[i+n-1])``,
+      hash-coded by ``pd.factorize`` over int64 keys (order-free
+      consumers make sort-based ``np.unique`` unnecessary — 2-4x less
+      CPU and memory traffic per pass);
+    - per-(doc, gram) counts are ``bincount`` over the factorized
+      doc-major key; per-doc reductions scatter with ``np.add.at`` or
+      re-sort only the tiny ``count >= 2`` candidate subset;
     - n-gram character lengths are prefix-sum gathers (len of join =
       sum of token lens + n-1);
     - the only strings ever built are max-count TIE-BREAK candidates
       (lexicographically-first joined string, matching the SQL fold's
       sorted-order semantics) — almost always none.
     """
-    D = len(texts)
+    import pyarrow.compute as pc
+
+    D = len(text)
     names = _numerator_names(top_ns, dup_ns)
     out = np.zeros((D, len(names)), dtype=np.int64)
-    chars = np.maximum(np.fromiter(map(len, texts), np.int64, D), 1)
     if D == 0:
-        return out, chars
+        return out, np.zeros(0, dtype=np.int64)
+    chars = np.maximum(
+        pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64), 1
+    )
     col = 0
     for sep in ("\n", "\n\n"):
-        units = [t.split(sep) for t in texts]
-        n_units = np.fromiter(map(len, units), np.int64, D)
-        doc_of = np.repeat(np.arange(D, dtype=np.int64), n_units)
-        flat = np.asarray(
-            [u for us in units for u in us], dtype=object
+        units = pc.split_pattern(text, sep)
+        n_units = (
+            pc.list_value_length(units).to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        codes, uniq = pd.factorize(flat)
-        L = max(len(uniq), 1)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), n_units)
+        denc = pc.dictionary_encode(units.flatten())
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = max(len(denc.dictionary), 1)
         key = doc_of * L + codes
-        grp, counts = np.unique(key, return_counts=True)
+        pcodes, grp = pd.factorize(key)
+        counts = np.bincount(pcodes)
         docu = grp // L
         distinct = np.bincount(docu, minlength=D)
         out[:, col] = n_units
         out[:, col + 1] = n_units - distinct
         dup = counts >= 2
         if dup.any():
-            ulen = np.fromiter(map(len, uniq), np.int64, len(uniq))
+            ulen = (
+                pc.utf8_length(denc.dictionary)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
             w = counts[dup] * ulen[grp[dup] % L]
             np.add.at(out[:, col + 2], docu[dup], w)
         col += 3
     # ---- word n-grams over the batch-flattened token stream
-    toks = [t.split(" ") for t in texts]
-    n_toks = np.fromiter(map(len, toks), np.int64, D)
-    flat: list[str] = [w for ws in toks for w in ws]
+    tok_list = pc.split_pattern(text, " ")
+    n_toks = (
+        pc.list_value_length(tok_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    flat = tok_list.flatten()  # Arrow StringArray, batch-contiguous
     total = len(flat)
     doc_of = np.repeat(np.arange(D, dtype=np.int64), n_toks)
-    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-    ids = codes.astype(np.int64, copy=False)
-    U = max(len(uniq), 1)
-    ulen = np.fromiter(map(len, uniq), np.int64, len(uniq))
-    cum = np.concatenate([[0], np.cumsum(ulen[codes])])
+    denc = pc.dictionary_encode(flat)
+    ids = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    U = max(len(denc.dictionary), 1)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(tok_lens)])
     wanted = {n: ("top", i + col) for i, n in enumerate(top_ns)}
     wanted.update(
         {n: ("dup", i + col + len(top_ns)) for i, n in enumerate(dup_ns)}
@@ -309,37 +344,54 @@ def _batch_repetition_numerators(
             )
         else:
             key = np.empty(0, dtype=np.int64)
-        grams, gid = np.unique(key, return_inverse=True)
+        # hash-coding instead of sort-based np.unique: the gram id
+        # values only need to be CONSISTENT (they feed the next
+        # doubling level and the (doc, gram) grouping), never sorted —
+        # every downstream consumer either scatters (bincount, add.at)
+        # or re-sorts only the tiny count>=2 candidate subset.  ~2-4x
+        # less CPU and memory traffic per pass, and this loop is one
+        # pass per n-gram size over the whole batch token stream.
+        gid, grams = pd.factorize(key)
         G = len(grams)
         if n not in wanted:
             continue
         kind, c = wanted[n]
         if G == 0:
             continue
-        # per-(doc, gram) counts, doc-major so docs form contiguous runs
-        invalid = grams[0] == -1  # unique sorts ascending: -1 first
+        inv = np.flatnonzero(grams == -1)  # code of the invalid marker
         key2 = doc_of[: len(gid)] * G + gid
-        if invalid:
-            key2 = np.where(key == -1, np.int64(-1), key2)
-        grp, first, counts = np.unique(
-            key2, return_index=True, return_counts=True
-        )
-        if invalid and len(grp) and grp[0] == -1:
-            grp, first, counts = grp[1:], first[1:], counts[1:]
-        if len(grp) == 0:
+        if inv.size:
+            key2 = np.where(gid == inv[0], np.int64(-1), key2)
+        pcodes, grp = pd.factorize(key2)
+        counts = np.bincount(pcodes)
+        # any occurrence position works as the gram's representative
+        # (same gram id => same token ids => same joined string/length);
+        # vectorized store keeps the LAST one
+        rep = np.empty(len(grp), dtype=np.int64)
+        rep[pcodes] = np.arange(len(pcodes), dtype=np.int64)
+        # candidates: valid (doc, gram) pairs seen >= 2 times — the
+        # only pairs either metric can use; typically a small subset
+        sel = np.flatnonzero((counts >= 2) & (grp != -1))
+        if sel.size == 0:
             continue
-        docu = grp // G
+        docu = grp[sel] // G
+        first = rep[sel]
         glen = cum[first + n] - cum[first] + (n - 1)
+        cnts = counts[sel]
         if kind == "dup":
-            dup = counts >= 2
-            if dup.any():
-                np.add.at(out[:, c], docu[dup], counts[dup] * glen[dup])
+            np.add.at(out[:, c], docu, cnts * glen)
         else:
+            # doc-major order (needed for the per-doc max + tie-break)
+            # restored by sorting just the candidate subset
+            order = np.argsort(docu, kind="stable")
+            docu, cnts, first, glen = (
+                docu[order], cnts[order], first[order], glen[order]
+            )
             seg = np.flatnonzero(np.diff(docu, prepend=-1))
-            docmax = np.maximum.reduceat(counts, seg)
+            docmax = np.maximum.reduceat(cnts, seg)
             maxmap = np.zeros(D, dtype=np.int64)
             maxmap[docu[seg]] = docmax
-            hit = (counts == maxmap[docu]) & (counts >= 2)
+            hit = cnts == maxmap[docu]  # all candidates are >= 2
             hidx = np.flatnonzero(hit)
             if hidx.size == 0:
                 continue
@@ -347,14 +399,15 @@ def _batch_repetition_numerators(
             # docs with a single max-count gram: take it directly
             first_of_doc = np.flatnonzero(np.diff(hdoc, prepend=-1))
             n_cand = np.diff(np.append(first_of_doc, hidx.size))
-            val = counts[hidx] * glen[hidx]
+            val = cnts[hidx] * glen[hidx]
             for s0, k in zip(first_of_doc, n_cand):
                 rows = hidx[s0 : s0 + k]
                 if k > 1:
                     # tie: lexicographically-first JOINED string (the
                     # SQL fold's sorted-order tie-break)
                     joined = [
-                        " ".join(flat[first[r] : first[r] + n]) for r in rows
+                        " ".join(flat[first[r] : first[r] + n].to_pylist())
+                        for r in rows
                     ]
                     pick = min(range(k), key=joined.__getitem__)
                 else:
@@ -370,9 +423,12 @@ def _repetition_stats_arrow(
     top_ns: tuple[int, ...],
     dup_ns: tuple[int, ...],
 ) -> DataFrame:
-    """`repetition_stats` as ONE Arrow-batched ``mapInPandas`` pass
-    (no shuffle, no per-row Python UDF).  Null text yields null
-    metrics, matching the SQL path."""
+    """`repetition_stats` as ONE ``mapInArrow`` pass (no shuffle, no
+    per-row Python UDF, no pandas materialization: input columns pass
+    through ZERO-COPY as Arrow arrays and the kernel reads the text
+    column as Arrow too, so no Python string object is ever built for
+    a document).  Null text yields null metrics, matching the SQL
+    path."""
     metrics = _metric_names(top_ns, dup_ns)
     top_t, dup_t = tuple(top_ns), tuple(dup_ns)
     schema = StructType(
@@ -380,21 +436,35 @@ def _repetition_stats_arrow(
         + [StructField(m, DoubleType(), True) for m in metrics]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            null = np.asarray(pdf[text_col].isna())
-            texts = [str(t) for t in pdf[text_col][~null]]
-            sub = _batch_repetition_metrics(texts, top_t, dup_t)
-            vals = np.full((len(pdf), len(metrics)), np.nan)
-            vals[~null] = sub
-            out = pdf.copy()
-            for j, m in enumerate(metrics):
-                col = pd.array(vals[:, j], dtype="Float64")
-                col[null] = pd.NA
-                out[m] = col
-            yield out
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return docs.mapInPandas(run, schema=schema)
+        for rb in batches:
+            tcol = rb.column(rb.schema.get_field_index(text_col))
+            if tcol.null_count:
+                valid = pc.is_valid(tcol)
+                null = np.invert(valid.to_numpy(zero_copy_only=False))
+                num, chars = _arrow_batch_numerators(
+                    tcol.filter(valid), top_t, dup_t
+                )
+            else:
+                null = None
+                num, chars = _arrow_batch_numerators(tcol, top_t, dup_t)
+            m = _metrics_from_numerators(num, chars)
+            arrays = list(rb.columns)
+            for j in range(len(metrics)):
+                if null is None:
+                    arrays.append(pa.array(m[:, j], type=pa.float64()))
+                else:
+                    vals = np.full(len(rb), np.nan)
+                    vals[~null] = m[:, j]
+                    arrays.append(pa.array(vals, type=pa.float64(), mask=null))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(rb.schema.names) + metrics
+            )
+
+    return docs.mapInArrow(run, schema=schema)
 
 
 def repetition_numerators(
@@ -412,7 +482,8 @@ def repetition_numerators(
     every occurrence counted).  The hash-portable graded form of
     :func:`repetition_stats` — integer outputs cannot drift across
     engines the way float fractions can (`metric = numerator / chars`
-    exactly).  One zero-shuffle ``mapInPandas`` pass; null text yields
+    exactly).  One zero-shuffle ``mapInArrow`` pass (same zero-copy
+    passthrough as :func:`_repetition_stats_arrow`); null text yields
     null numerators."""
     names = ["chars"] + _numerator_names(top_ns, dup_ns)
     top_t, dup_t = tuple(top_ns), tuple(dup_ns)
@@ -421,22 +492,35 @@ def repetition_numerators(
         + [StructField(m, LongType(), True) for m in names]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            null = np.asarray(pdf[text_col].isna())
-            texts = [str(t) for t in pdf[text_col][~null]]
-            num, chars = _batch_repetition_numerators(texts, top_t, dup_t)
-            full = np.zeros((len(pdf), len(names)), dtype=np.int64)
-            full[~null, 0] = chars
-            full[~null, 1:] = num
-            out = pdf.copy()
-            for j, m in enumerate(names):
-                col = pd.array(full[:, j], dtype="Int64")
-                col[null] = pd.NA
-                out[m] = col
-            yield out
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return docs.mapInPandas(run, schema=schema)
+        for rb in batches:
+            tcol = rb.column(rb.schema.get_field_index(text_col))
+            if tcol.null_count:
+                valid = pc.is_valid(tcol)
+                null = np.invert(valid.to_numpy(zero_copy_only=False))
+                num, chars = _arrow_batch_numerators(
+                    tcol.filter(valid), top_t, dup_t
+                )
+            else:
+                null = None
+                num, chars = _arrow_batch_numerators(tcol, top_t, dup_t)
+            full = np.concatenate([chars[:, None], num], axis=1)
+            arrays = list(rb.columns)
+            for j in range(len(names)):
+                if null is None:
+                    arrays.append(pa.array(full[:, j], type=pa.int64()))
+                else:
+                    vals = np.zeros(len(rb), dtype=np.int64)
+                    vals[~null] = full[:, j]
+                    arrays.append(pa.array(vals, type=pa.int64(), mask=null))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(rb.schema.names) + names
+            )
+
+    return docs.mapInArrow(run, schema=schema)
 
 
 def gopher_repetition_filter(

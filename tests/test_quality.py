@@ -164,7 +164,9 @@ def test_repetition_stats_zero_shuffle(spark, impl):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     if impl == "arrow":
-        assert "MapInPandas" in plan
+        # r8: the stats pass is mapInArrow (zero-copy passthrough, no
+        # pandas/Python-string materialization)
+        assert "MapInArrow" in plan
 
 
 # ------------------------------------------------ C4 line cleaning
