@@ -67,6 +67,12 @@ GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
     "dup_10gram_char_frac": 0.10,
 }
 
+#: per-batch text-byte budget for the Arrow repetition kernel: batches
+#: above this split into independent sub-slices before the token
+#: stream is flattened (see _arrow_batch_numerators).  ~64 MB of text
+#: bounds the int64 working arrays at a few hundred MB per task.
+GOPHER_BATCH_BYTE_BUDGET = 64 << 20
+
 _ACC = (
     "struct(cast(null as string) as prev, 0L as run, 0L as best_run,"
     " cast(null as string) as best_el, 0L as dup_chars)"
@@ -284,6 +290,32 @@ def _arrow_batch_numerators(
     out = np.zeros((D, len(names)), dtype=np.int64)
     if D == 0:
         return out, np.zeros(0, dtype=np.int64)
+    # per-batch byte budget (VERDICT r7 #5): the kernel flattens the
+    # whole batch's token stream and multiplies int64 working arrays
+    # across the n-gram passes, so one pathological mega-document batch
+    # must not blow executor memory.  Per-doc metrics are independent,
+    # so an over-budget batch splits into contiguous sub-slices (each
+    # kept under the budget; a single over-budget document processes
+    # alone) — bounded peak RSS, identical output.
+    budget = int(GOPHER_BATCH_BYTE_BUDGET)
+    sizes = pc.binary_length(text.cast("binary")).to_numpy(zero_copy_only=False)
+    if D > 1 and int(sizes.sum()) > budget:
+        cuts = [0]
+        acc = 0
+        for i, s in enumerate(int(x) for x in sizes):
+            if acc and acc + s > budget:
+                cuts.append(i)
+                acc = 0
+            acc += s
+        cuts.append(D)
+        chars_parts = []
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            sub_num, sub_chars = _arrow_batch_numerators(
+                text.slice(lo, hi - lo), top_ns, dup_ns
+            )
+            out[lo:hi] = sub_num
+            chars_parts.append(sub_chars)
+        return out, np.concatenate(chars_parts)
     chars = np.maximum(
         pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64), 1
     )

@@ -320,3 +320,23 @@ def test_spammy_documents_all_dropped_dupheavy_all_kept(spark, impl):
     assert quality.gopher_repetition_filter(spam, impl=impl).count() == 0
     base = documents_dupheavy(spark, 300)
     assert quality.gopher_repetition_filter(base, impl=impl).count() == 300
+
+
+def test_arrow_kernel_batch_byte_budget(spark, monkeypatch):
+    """VERDICT r7 #5: a mega-document among small ones must not change
+    the output when the per-batch byte budget forces sub-slicing (and
+    the slicing must actually trigger)."""
+    import numpy as np
+
+    from atsc_spark.datapipe.quality import _batch_repetition_numerators
+
+    mega = ("lorem ipsum dolor sit amet " * 2000) + "tail tail tail"
+    texts = ["a b c a b c", mega, "x y", mega + " extra", "solo"]
+    base_num, base_chars = _batch_repetition_numerators(texts, (2, 3), (5,))
+
+    monkeypatch.setattr(
+        "atsc_spark.datapipe.quality.GOPHER_BATCH_BYTE_BUDGET", 10_000
+    )
+    split_num, split_chars = _batch_repetition_numerators(texts, (2, 3), (5,))
+    assert np.array_equal(base_num, split_num)
+    assert np.array_equal(base_chars, split_chars)
