@@ -33,7 +33,11 @@ import numpy as np
 from .fft import FFTFrame, fft_trim, gibbs_sizing
 from .frame import CONSTANT, FFT, POLYNOMIAL, RLE, FrameResult, compress_best
 from .polynomial import POLYNOMIAL_ID, PolynomialFrame
-from .simple import constant_compress, rle_compress, rle_min_bytes
+from .simple import (
+    constant_compress,
+    rle_compress_batch,
+    rle_min_bytes,
+)
 from .stats import data_stats
 from .utils import round_f64, round_half_away, rust_f64_as_i32
 
@@ -101,28 +105,38 @@ def _cohort_tournament(mat: np.ndarray, max_error: float) -> list[FrameResult]:
     fft_cand = _fft_batch(mat, fft_rows, stats, max_error) if fft_rows else {}
     poly_cand = _poly_batch(mat, live, stats, max_error)
 
+    # RLE pre-check per frame: rle_min_bytes lower-bounds its payload,
+    # its error is always 0.0 (so `passing` is never empty), and the
+    # (fft, poly, rle) candidate order means it must be STRICTLY
+    # smaller than a passing earlier candidate to win.  When a passing
+    # candidate is already <= that bound, the full encode is provably
+    # dead work and is skipped; the selection result is identical
+    # either way.  The needed encodes then run as ONE cross-frame
+    # batch (rle_compress_batch, byte-identical per frame) — on
+    # small-frame-heavy workloads the per-frame encoder's fixed numpy
+    # overhead was ~1/3 of the tournament wall.
+    base_cand: dict[int, list] = {}
+    rle_rows: list[int] = []
     for i in live:
         candidates = []
         if i in fft_cand:
             candidates.append((fft_cand[i], FFT))
         candidates.append((poly_cand[i], POLYNOMIAL))
-        # RLE pre-check: rle_min_bytes lower-bounds its payload, its
-        # error is always 0.0 (so `passing` is never empty), and the
-        # (fft, poly, rle) candidate order means it must be STRICTLY
-        # smaller than a passing earlier candidate to win.  When a
-        # passing candidate is already <= that bound, the full encode
-        # (bit-sort + three varint streams — measured ~1/3 of
-        # tournament wall on noisy frames, where n_runs ≈ n and RLE
-        # always loses) is provably dead work and is skipped; the
-        # selection result is identical either way.
-        rle_needed = True
+        base_cand[i] = candidates
         passing_pre = [(r, c) for r, c in candidates if r[1] <= max_error]
         if passing_pre:
             best_sz = min(len(r[0]) for r, _ in passing_pre)
             if rle_min_bytes(mat[i]) >= best_sz:
-                rle_needed = False
-        if rle_needed:
-            candidates.append((rle_compress(mat[i], stats[i]), RLE))
+                continue
+        rle_rows.append(i)
+    if rle_rows:
+        encoded = rle_compress_batch(
+            [mat[i] for i in rle_rows], [stats[i] for i in rle_rows]
+        )
+        for i, res in zip(rle_rows, encoded):
+            base_cand[i].append((res, RLE))
+    for i in live:
+        candidates = base_cand[i]
         # selection identical to compress_best's full-frame branch:
         # strict float pass filter (NaN fails), min payload size with
         # candidate-order tie-break
