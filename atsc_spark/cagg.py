@@ -425,51 +425,71 @@ class ContinuousRollups:
                     f"{[d.isoformat() for d in compute]} have files but no "
                     "readable tier data; fix or drop the partitions"
                 )
-            fine = rollup(src.select("conv_id", "metric", "bucket_ts", "value"), GRAINS["1m"])
+            isos = [d.isoformat() for d in compute]
+            fs, _ = self.store._fs(self.base)
+            lineage_rows = []
+            # ONE Spark write job for all three grains (VERDICT r7 #6;
+            # was one write + one count job per grain = 6 jobs whose
+            # scheduling overhead dominated the one-dirty-day floor):
+            # the grains are unioned under a `grain` partition column
+            # and written partitionBy(grain, day) in one action.  The
+            # 1m subplan appears in every branch and the 1h subplan in
+            # two, but Spark's exchange reuse materializes each
+            # aggregation exchange once — the source tiers (and any
+            # tier-0/1/2 frame decode) are scanned once per refresh,
+            # not once per grain.  Commit renames are unchanged: per
+            # (grain, day), same staged-rename protocol.
+            t_group = _time_mod.time()
             # re-attach the partition day from the bucket (buckets at
             # 1m/1h/1d granularity never straddle a UTC day boundary)
-            r1m = fine.withColumn("day", F.to_date("bucket_ts"))
+            r1m = rollup(
+                src.select("conv_id", "metric", "bucket_ts", "value"),
+                GRAINS["1m"],
+            ).withColumn("day", F.to_date("bucket_ts"))
             r1h = rollup_cascade_step(r1m.drop("day"), GRAINS["1h"]).withColumn(
                 "day", F.to_date("bucket_ts")
             )
             r1d = rollup_cascade_step(r1h.drop("day"), GRAINS["1d"]).withColumn(
                 "day", F.to_date("bucket_ts")
             )
-            isos = [d.isoformat() for d in compute]
-            fs, _ = self.store._fs(self.base)
-            lineage_rows = []
+            union = None
             for grain, df in (("1m", r1m), ("1h", r1h), ("1d", r1d)):
-                t_group = _time_mod.time()  # per grain: SUM(wall_ms) == real wall
-                staging = f"{self.base}/_staging/{grain}"
-                (
-                    df.filter(F.col("day").isin(isos))
-                    .repartition(max(len(compute) // 8, 1), "day")
-                    .sortWithinPartitions("day", "conv_id", "metric", "bucket_ts")
-                    .write.mode("overwrite")
-                    .partitionBy("day")
-                    .parquet(staging)
+                part = df.filter(F.col("day").isin(isos)).withColumn(
+                    "grain", F.lit(grain)
                 )
-                written = self.spark.read.parquet(staging)
-                counts = {
-                    r["day"]: r["n"]
-                    for r in written.groupBy("day")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-                wall_ms = int((_time_mod.time() - t_group) * 1000) // max(
-                    len(compute), 1
-                )
+                union = part if union is None else union.unionByName(part)
+            staging = f"{self.base}/_staging/all"
+            (
+                union.repartition(max(len(compute) // 8, 1), "grain", "day")
+                .sortWithinPartitions("grain", "day", "conv_id", "metric", "bucket_ts")
+                .write.mode("overwrite")
+                .partitionBy("grain", "day")
+                .parquet(staging)
+            )
+            written = self.spark.read.parquet(staging)
+            counts = {
+                (r["grain"], r["day"]): r["n"]
+                for r in written.groupBy("grain", "day")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            wall_ms = int((_time_mod.time() - t_group) * 1000) // max(
+                3 * len(compute), 1
+            )
+            for grain in ("1m", "1h", "1d"):
                 for d in compute:
-                    self._commit_rollup_partition(staging, grain, d)
+                    self._commit_rollup_partition(
+                        f"{staging}/grain={grain}", grain, d
+                    )
                     lineage_rows.append(
                         {
                             "stage": f"cagg:{grain}",
                             "partition_key": d.isoformat(),
-                            "rows_out": counts.get(d, 0),
+                            "rows_out": counts.get((grain, d), 0),
                             "wall_ms": wall_ms,
                         }
                     )
-                fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
+            fs.delete(self.spark._jvm.org.apache.hadoop.fs.Path(staging), True)
             self.lineage.record(lineage_rows)
         self._record_fingerprints(fps)
         self.compact_state()
