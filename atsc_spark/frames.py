@@ -446,11 +446,14 @@ def decode_granularity(sel: DataFrame, source: DataFrame, num_tasks: int | None)
             return sel
     except Exception:
         pass
-    # 2x parallelism, not 1x: decode is output-heavy and the extra
-    # slices pipeline the Arrow transfer of finished tasks with the
-    # decode compute of running ones (measured 8.3 -> 4.6 s on a
-    # 20M-row decode at 8 cores; the small-corpus penalty is ~0.1 s)
-    par = 2 * source.sparkSession.sparkContext.defaultParallelism
+    # 1x parallelism by default (r8; env-tunable): the round-4 2x
+    # "pipeline the Arrow transfer" sizing was measured at 8 cores —
+    # at 32 cores the ~8 ms serialized per-Python-task dispatch cost
+    # of a second wave exceeds what transfer overlap saves (measured
+    # on all three decode shapes at sf1.0: monitoring 0.75 -> 0.57 s,
+    # gorilla 0.76 -> 0.50 s, transcripts 1.23 -> 0.94 s at 1x vs 2x)
+    factor = float(os.environ.get("ATSC_DECODE_TASK_FACTOR", "1"))
+    par = max(1, int(source.sparkSession.sparkContext.defaultParallelism * factor))
     if source.storageLevel.useMemory or source.storageLevel.useDisk:
         # cached input: FLOOR the per-task decode work at ~64 KB of
         # compressed rows.  A smaller task spends more on Python-worker
